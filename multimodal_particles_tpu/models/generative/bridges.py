@@ -1,0 +1,350 @@
+"""Stochastic bridges as pure JAX functions.
+
+Re-derivation of the reference bridge layer (reference:
+models/generative/bridges.py:9-286) in functional form: every method takes an
+explicit PRNG key, returns new arrays, and contains no Python-level control
+flow on traced values — so the whole sampling loop compiles to a single XLA
+program via `lax.scan`.
+
+Math (with reference citations):
+  LinearUniformBridge  — conditional-OT flow matching, x_t = t x1 + (1-t) x0 + σ z,
+                         drift target x1 - x0                  (bridges.py:23-33)
+  SchrodingerBridge    — Brownian bridge, std σ√(t(1-t))        (bridges.py:60-73)
+  TelegraphBridge      — S-state telegraph CTMC with closed-form conditional
+                         P(x_t=i|x_t0) = 1/S + w(δ - 1/S),
+                         w = exp(-S γ (t-t0))                   (bridges.py:159-177)
+                         posterior bridge sampling              (bridges.py:134-157)
+                         reverse rate A + B qx + C qy           (bridges.py:106-132)
+                         tau-leaping solver                     (bridges.py:179-201)
+  AbsorbingBridge      — survival process on the mask with
+                         P(alive at t) = e^{-γt}(1-e^{γ(t-1)})/(1-e^{-γ})
+                                                                (bridges.py:218-231)
+
+The per-step state updates (`*_solver_step`) all preserve fixed (B, N, ...)
+shapes and use multiplicative masks, never shape surgery — the XLA-native
+treatment of variable cardinality.
+
+Bug fixes vs the reference (documented in SURVEY.md §7.4, intentionally NOT
+replicated): the reference `SchrodingerBridge.solver_step` integrates
+`state.continuous` instead of the predicted drift and erroneously masks
+`state.discrete` (bridges.py:75-84); here the EM step uses the drift head.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_particles_tpu.models.generative.states import (
+    AbsorbingBridgeState,
+    HybridState,
+    MultiHeadOutput,
+)
+
+# ---------------------------------------------------------------------------
+# continuous bridges
+# ---------------------------------------------------------------------------
+
+
+def linear_uniform_sample(key, t, x0, x1, sigma):
+    """x_t = t·x1 + (1-t)·x0 + σ·z with constant σ."""
+    x = t * x1 + (1.0 - t) * x0
+    z = jax.random.normal(key, x.shape, dtype=x.dtype)
+    return x + sigma * z
+
+
+def linear_uniform_drift(t, x, x0, x1):
+    """Conditional-OT drift target: x1 - x0 (state-independent)."""
+    del t, x
+    return x1 - x0
+
+
+def schrodinger_sample(key, t, x0, x1, sigma):
+    """Brownian-bridge marginal: mean t·x1+(1-t)·x0, std σ√(t(1-t))."""
+    x = t * x1 + (1.0 - t) * x0
+    z = jax.random.normal(key, x.shape, dtype=x.dtype)
+    return x + sigma * jnp.sqrt(t * (1.0 - t)) * z
+
+
+def schrodinger_drift(t, x, x0, x1):
+    denom = t * (1.0 - t)
+    A = (1.0 - 2.0 * t) / denom
+    B = t**2 / denom
+    C = -((1.0 - t) ** 2) / denom
+    return A * x + B * x1 + C * x0
+
+
+# ---------------------------------------------------------------------------
+# telegraph (CTMC) bridge
+# ---------------------------------------------------------------------------
+
+
+def telegraph_conditional_probability(t_in, t_out, k_in, k_out, gamma, vocab_size):
+    """P(x(t_out)=k_out | x(t_in)=k_in) = 1/S + w·(δ_{k_out,k_in} - 1/S),
+    w = exp(-S γ (t_out - t_in)). Broadcasts over leading dims."""
+    S = vocab_size
+    w = jnp.exp(-S * gamma * (t_out - t_in))
+    kronecker = (k_out == k_in).astype(w.dtype)
+    return 1.0 / S + w * (kronecker - 1.0 / S)
+
+
+def telegraph_transition_probability(t, k0, k1, gamma, vocab_size):
+    """Posterior bridge P(x_t = k | x_0=k0, x_1=k1) over all k.
+
+    Args:
+      t:  (B, 1, 1) time
+      k0: (B, N, 1) source tokens
+      k1: (B, N, 1) target tokens
+    Returns:
+      (B, N, S) normalized transition probabilities.
+    """
+    k = jnp.arange(vocab_size)[None, None, :]  # (1, 1, S)
+    p_k_to_k1 = telegraph_conditional_probability(t, 1.0, k, k1, gamma, vocab_size)
+    p_k0_to_k = telegraph_conditional_probability(0.0, t, k0, k, gamma, vocab_size)
+    p_k0_to_k1 = telegraph_conditional_probability(0.0, 1.0, k0, k1, gamma, vocab_size)
+    return (p_k_to_k1 * p_k0_to_k) / p_k0_to_k1
+
+
+def telegraph_sample(key, t, k0, k1, gamma, vocab_size):
+    """Draw k_t ~ P(·| k0, k1) from the closed-form posterior bridge."""
+    probs = telegraph_transition_probability(t, k0, k1, gamma, vocab_size)
+    k_t = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-37)), axis=-1)
+    return k_t[..., None].astype(k0.dtype)
+
+
+def telegraph_rate(t, k, logits, gamma, vocab_size):
+    """Reverse-time jump rates from model logits.
+
+    rate(k->j) = 1 + B·q_j + C·q_k  with B = wS/(1-w), C = w,
+    w = exp(-S γ (1-t)).
+
+    Args:
+      t:      (B, 1, 1) or (B, 1) time
+      k:      (B, N, 1) current tokens
+      logits: (B, N, S)
+    Returns:
+      (B, N, S) nonnegative rates.
+    """
+    S = vocab_size
+    qx = jax.nn.softmax(logits, axis=-1)  # (B, N, S)
+    qy = jnp.take_along_axis(qx, k.astype(jnp.int32), axis=-1)  # (B, N, 1)
+    t_ = t.reshape(t.shape[0], 1, 1)
+    w = jnp.exp(-S * gamma * (1.0 - t_))
+    B_coef = (w * S) / (1.0 - w)
+    C_coef = w
+    return 1.0 + B_coef * qx + C_coef * qy
+
+
+def tau_leaping_step(key, k, rates, delta_t, vocab_size):
+    """Tau-leaping update of the token field.
+
+    Poisson jump counts per candidate state; only single-jump events are
+    applied (net-jump trick); result clamped to the vocab.
+
+    Args:
+      k:     (B, N, 1) current tokens
+      rates: (B, N, S)
+    Returns:
+      (B, N, 1) updated tokens.
+    """
+    k_sq = k[..., 0].astype(jnp.int32)  # (B, N)
+    all_jumps = jax.random.poisson(key, rates * delta_t, dtype=jnp.int32)  # (B,N,S)
+    jump_mask = (jnp.sum(all_jumps, axis=-1) <= 1).astype(jnp.int32)  # (B, N)
+    diff = jnp.arange(vocab_size)[None, None, :] - k_sq[:, :, None]  # (B, N, S)
+    net_jumps = jnp.sum(all_jumps * diff, axis=-1)  # (B, N)
+    k_new = k_sq + net_jumps * jump_mask
+    k_new = jnp.clip(k_new, 0, vocab_size - 1)
+    return k_new[..., None].astype(k.dtype)
+
+
+# ---------------------------------------------------------------------------
+# absorbing (survival) bridge
+# ---------------------------------------------------------------------------
+
+
+def absorbing_survival_probability(t, gamma):
+    """P(killing after time t) = e^{-γt} (1 - e^{γ(t-1)}) / (1 - e^{-γ})."""
+    return (
+        jnp.exp(-gamma * t)
+        * (1.0 - jnp.exp(gamma * (t - 1.0)))
+        / (1.0 - jnp.exp(-gamma))
+    )
+
+
+def absorbing_sample(key, t, target_mask, gamma):
+    """Sample the alive/dead mask at time t.
+
+    Particles destined to exist at t=1 (target_mask==1) are always alive;
+    the rest survive with the closed-form survival probability.
+
+    Args:
+      t:           (B, 1, 1)
+      target_mask: (B, N, 1)
+    Returns:
+      (B, N, 1) int mask.
+    """
+    u = jax.random.uniform(key, target_mask.shape)
+    survival = absorbing_survival_probability(t, gamma)
+    mask_t = (u < survival).astype(jnp.int32)
+    return jnp.where(target_mask > 0, 1, mask_t)
+
+
+def absorbing_rate(t, mask_t, logits, gamma):
+    """Birth rate = survival(t) · sigmoid(logits). logits: (B, N, 1)."""
+    del mask_t
+    sp = absorbing_survival_probability(t, gamma)
+    return sp * jax.nn.sigmoid(logits)
+
+
+def absorbing_step(key, mask_t, rates, delta_t):
+    """Bernoulli-thinning birth step: one-way 0 → 1 transitions.
+
+    Args:
+      mask_t: (B, N, 1)
+      rates:  (B, N, 1)
+    """
+    p = jnp.clip(delta_t * rates, 0.0, 1.0)
+    births = jax.random.bernoulli(key, p).astype(jnp.int32)
+    return jnp.where(mask_t > 0, 1, births)
+
+
+# ---------------------------------------------------------------------------
+# config-driven wrappers (static dataclasses, safe to close over in jit)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LinearUniformBridge:
+    """Conditional OT flow matching for continuous states."""
+
+    sigma: float
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(sigma=config.bridge.sigma)
+
+    def sample(self, key, t, x0, x1):
+        return linear_uniform_sample(key, t, x0, x1, self.sigma)
+
+    def drift(self, t, x, x0, x1):
+        return linear_uniform_drift(t, x, x0, x1)
+
+    def diffusion(self, t):
+        return jnp.zeros_like(jnp.asarray(t))
+
+    def solver_step(
+        self,
+        key,
+        state,
+        heads: MultiHeadOutput,
+        delta_t,
+        multimodal: bool = True,
+    ):
+        """Euler ODE step, masked to existing particles."""
+        del key
+        mask = heads.absorbing if multimodal else state.mask_t
+        new_continuous = (state.continuous + delta_t * heads.continuous) * mask
+        return state.replace(continuous=new_continuous)
+
+
+@dataclass(frozen=True)
+class SchrodingerBridge:
+    """Brownian (Schrödinger) bridge for continuous states."""
+
+    sigma: float
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(sigma=config.bridge.sigma)
+
+    def sample(self, key, t, x0, x1):
+        return schrodinger_sample(key, t, x0, x1, self.sigma)
+
+    def drift(self, t, x, x0, x1):
+        return schrodinger_drift(t, x, x0, x1)
+
+    def diffusion(self, t):
+        return self.sigma * jnp.sqrt(t * (1.0 - t))
+
+    def solver_step(self, key, state, heads, delta_t, multimodal: bool = True):
+        """Euler–Maruyama SDE step (uses the drift head — fixes the reference
+        bug at bridges.py:75-84 which integrated the raw state)."""
+        diffusion = self.diffusion(delta_t)
+        dw = jax.random.normal(key, state.continuous.shape, state.continuous.dtype)
+        mask = heads.absorbing if multimodal else state.mask_t
+        new_continuous = (
+            state.continuous + delta_t * heads.continuous + diffusion * dw
+        ) * mask
+        return state.replace(continuous=new_continuous)
+
+
+@dataclass(frozen=True)
+class TelegraphBridge:
+    """Multivariate telegraph CTMC bridge on a vocab of S tokens."""
+
+    gamma: float
+    time_epsilon: float
+    vocab_size: int
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(
+            gamma=config.bridge.gamma,
+            time_epsilon=config.bridge.time_eps,
+            vocab_size=config.data.vocab_size_features,
+        )
+
+    def sample(self, key, t, k0, k1):
+        return telegraph_sample(key, t, k0, k1, self.gamma, self.vocab_size)
+
+    def rate(self, t, k, logits):
+        return telegraph_rate(t, k, logits, self.gamma, self.vocab_size)
+
+    def transition_probability(self, t, k0, k1):
+        return telegraph_transition_probability(
+            t, k0, k1, self.gamma, self.vocab_size
+        )
+
+    def conditional_probability(self, t_in, t_out, k_in, k_out):
+        return telegraph_conditional_probability(
+            t_in, t_out, k_in, k_out, self.gamma, self.vocab_size
+        )
+
+    def solver_step(self, key, state, heads, delta_t, multimodal: bool = True):
+        rates = self.rate(t=state.time, k=state.discrete, logits=heads.discrete)
+        new_discrete = tau_leaping_step(
+            key, state.discrete, rates, delta_t, self.vocab_size
+        )
+        mask = heads.absorbing if multimodal else state.mask_t
+        new_discrete = new_discrete * mask.astype(new_discrete.dtype)
+        return state.replace(discrete=new_discrete)
+
+
+@dataclass(frozen=True)
+class AbsorbingBridge:
+    """Survival bridge for the existence mask (vocab {dead, alive})."""
+
+    gamma_absorb: float
+    time_epsilon: float
+    vocab_size: int = 2
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(
+            gamma_absorb=config.bridge.gamma_absorb,
+            time_epsilon=config.bridge.time_eps,
+        )
+
+    def survival_probability(self, t):
+        return absorbing_survival_probability(t, self.gamma_absorb)
+
+    def sample(self, key, time, target_mask):
+        return absorbing_sample(key, time, target_mask, self.gamma_absorb)
+
+    def rate(self, t, k, logits):
+        return absorbing_rate(t, k, logits, self.gamma_absorb)
+
+    def solver_step(self, key, state: AbsorbingBridgeState, heads, delta_t):
+        rates = self.rate(t=state.time, k=state.mask_t, logits=heads.absorbing)
+        new_mask = absorbing_step(key, state.mask_t, rates, delta_t)
+        return state.replace(mask_t=new_mask)

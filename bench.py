@@ -1,0 +1,99 @@
+"""Benchmark: particle-cloud generation throughput at the 100-step hybrid
+sampler (the BASELINE.md primary metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "jets/sec/chip", "vs_baseline": N}
+
+Baseline target: 1M 128-particle jets/min on a v5e-8 at 100 sampler steps
+≙ ~2083 jets/sec/chip (BASELINE.md).
+
+Model: config-berlin scale (EPiC 2 blocks, hidden 16/16, N=128, vocab 8),
+the reference's shipped hybrid-bridge workload.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_JETS_PER_SEC_PER_CHIP = 1_000_000 / 60 / 8  # ≈ 2083.3
+
+
+def build(batch_size: int, num_timesteps: int, compute_dtype: str):
+    from multimodal_particles_tpu.config_classes import (
+        MultimodalBridgeMatchingConfig,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        JetsDataloaderModule,
+    )
+    from multimodal_particles_tpu.models.generative.multimodal_bridge_matching import (
+        MultiModalBridgeMatching,
+    )
+
+    config = MultimodalBridgeMatchingConfig()
+    config.data.batch_size = batch_size
+    config.data.max_num_particles = 128
+    config.bridge.num_timesteps = num_timesteps
+    config.parallel.compute_dtype = compute_dtype
+
+    model = MultiModalBridgeMatching(config)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, JetsDataloaderModule.random_databatch(config)
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, config, params, batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.batch_size, args.steps, args.iters = 64, 10, 2
+
+    n_chips = jax.device_count()
+    model, config, params, batch = build(args.batch_size, args.steps, args.dtype)
+
+    # the sampler returns a checksum scalar alongside the state so each timed
+    # iteration can be synchronized by fetching 4 bytes (block_until_ready is
+    # not a reliable barrier on the axon-tunnelled platform, and fetching the
+    # full (B, N, 3) output would time the tunnel, not the chip)
+    def run(params, batch, key):
+        out = model.predict(params, batch, key)
+        return jnp.sum(out.continuous) + jnp.sum(out.discrete)
+
+    sampler = jax.jit(run)
+    key = jax.random.PRNGKey(42)
+
+    float(sampler(params, batch, key))  # warmup / compile
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        float(sampler(params, batch, jax.random.fold_in(key, i)))
+    dt = time.perf_counter() - t0
+
+    jets = args.batch_size * args.iters
+    jets_per_sec = jets / dt
+    jets_per_sec_per_chip = jets_per_sec / n_chips
+
+    result = {
+        "metric": "particle-cloud samples/sec/chip at {}-step hybrid sampler".format(
+            args.steps
+        ),
+        "value": round(jets_per_sec_per_chip, 2),
+        "unit": "jets/sec/chip",
+        "vs_baseline": round(jets_per_sec_per_chip / BASELINE_JETS_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""AbsorbingFlow tests: bridge boundary conditions, head/loss smoke, solver
+step and full dynamics (reference test style:
+tests/test_generative/test_absorbing.py:18-80)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_particles_tpu import test_resources_dir
+from multimodal_particles_tpu.config_classes import AbsorbingConfig
+from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+    JetsDataloaderModule,
+)
+from multimodal_particles_tpu.models.generative.absorbing.absorbing_flows import (
+    AbsorbingFlow,
+)
+
+CONFIG_PATH = os.path.join(
+    test_resources_dir, "configs_files", "config-absorbing-test.yaml"
+)
+
+
+def _jnp_batch(batch):
+    return type(batch)(*[jnp.asarray(v) if v is not None else None for v in batch])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = AbsorbingConfig.from_yaml(CONFIG_PATH)
+    cfg.data.batch_size = 8
+    cfg.data.max_num_particles = 24
+    cfg.bridge.num_timesteps = 8
+    cfg.generator.transformer_dim = 32
+    cfg.generator.n_attn_blocks = 1
+    batch = _jnp_batch(JetsDataloaderModule.random_databatch(cfg))
+    model = AbsorbingFlow(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return cfg, model, params, batch
+
+
+def test_absorbing_bridge_boundaries(setup):
+    """At t≈1 the bridge mask equals the target; at t≈0 all are alive
+    (reference: test_absorbing.py:18-45)."""
+    cfg, model, params, batch = setup
+    B = batch.target_continuous.shape[0]
+    t1 = jnp.full((B, 1, 1), 1.0 - 1e-7)
+    m1 = model.bridge_absorbing.sample(jax.random.PRNGKey(1), t1, batch.target_mask)
+    assert (np.asarray(m1) == np.asarray(batch.target_mask)).all()
+    t0 = jnp.zeros((B, 1, 1))
+    m0 = model.bridge_absorbing.sample(jax.random.PRNGKey(2), t0, batch.target_mask)
+    assert (np.asarray(m0) == 1).all()
+
+
+def test_heads_shapes(setup):
+    cfg, model, params, batch = setup
+    state = model.sample_bridges(jax.random.PRNGKey(3), batch)
+    heads = model.forward(params, state, batch)
+    B, N = batch.target_continuous.shape[:2]
+    assert heads.continuous.shape == (B, N, 3)
+    assert heads.discrete.shape == (B, N, 8)
+    assert heads.absorbing.shape == (B, N, 1)
+
+
+def test_losses_finite_with_grads(setup):
+    cfg, model, params, batch = setup
+    (loss, metrics), grads = jax.value_and_grad(model.loss_fn, has_aux=True)(
+        params, jax.random.PRNGKey(4), batch
+    )
+    assert np.isfinite(float(loss))
+    for name in ("loss_continuous", "loss_discrete", "loss_absorbing"):
+        assert np.isfinite(float(metrics[name]))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert params["loss_weights"].shape == (3,)
+
+
+def test_solver_step(setup):
+    cfg, model, params, batch = setup
+    state = model.sample_bridges(jax.random.PRNGKey(5), batch)
+    heads = model.forward(params, state, batch)
+    new_state = model.bridge_absorbing.solver_step(
+        jax.random.PRNGKey(6), state, heads, 0.01
+    )
+    # one-way births: no alive particle dies
+    assert (np.asarray(new_state.mask_t) >= np.asarray(state.mask_t)).all()
+
+
+def test_simulate_dynamics(setup):
+    cfg, model, params, batch = setup
+    final = jax.jit(model.predict)(params, batch, jax.random.PRNGKey(7))
+    B, N = batch.target_continuous.shape[:2]
+    assert final.continuous.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(final.continuous)).all()
+    mask = np.asarray(final.mask_t)
+    assert ((mask == 0) | (mask == 1)).all()
+    tokens = np.asarray(final.discrete)
+    assert (tokens >= 0).all() and (tokens < 8).all()
+
+
+def test_bce_matches_definition(setup):
+    """BCE-with-logits golden: compare against -[y log σ(x) + (1-y) log(1-σ(x))]."""
+    cfg, model, params, batch = setup
+    state = model.sample_bridges(jax.random.PRNGKey(8), batch)
+    heads = model.forward(params, state, batch)
+    got = float(model.loss_absorbing(heads, batch))
+    x = np.asarray(heads.absorbing).reshape(-1).astype(np.float64)
+    y = np.asarray(batch.target_mask).reshape(-1).astype(np.float64)
+    p = 1 / (1 + np.exp(-x))
+    expected = float(np.mean(-(y * np.log(p) + (1 - y) * np.log1p(-p))))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)

@@ -1,0 +1,111 @@
+"""Data-parallel trainer tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_particles_tpu import test_resources_dir
+from multimodal_particles_tpu.config_classes import MultimodalBridgeMatchingConfig
+from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+    JetsDataloaderModule,
+)
+from multimodal_particles_tpu.models.generative.multimodal_bridge_matching import (
+    MultiModalBridgeMatching,
+)
+from multimodal_particles_tpu.parallel.mesh import (
+    make_device_mesh,
+    pad_to_multiple,
+    shard_batch,
+)
+from multimodal_particles_tpu.training.trainer import Trainer, build_optimizer
+
+CONFIG_PATH = os.path.join(test_resources_dir, "configs_files", "config-mbm-test.yaml")
+
+
+def _tiny_config():
+    cfg = MultimodalBridgeMatchingConfig.from_yaml(CONFIG_PATH)
+    cfg.data.batch_size = 16
+    cfg.data.max_num_particles = 16
+    cfg.bridge.num_timesteps = 5
+    return cfg
+
+
+def test_mesh_has_8_devices():
+    mesh = make_device_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+
+
+def test_pad_to_multiple():
+    cfg = _tiny_config()
+    batch = JetsDataloaderModule.random_databatch(cfg)
+    padded, orig = pad_to_multiple(batch, 8)
+    assert orig == 16 and padded.source_continuous.shape[0] == 16
+    odd = type(batch)(*[v[:13] if v is not None else None for v in batch])
+    padded, orig = pad_to_multiple(odd, 8)
+    assert orig == 13 and padded.source_continuous.shape[0] == 16
+
+
+def test_shard_batch_places_on_mesh():
+    cfg = _tiny_config()
+    mesh = make_device_mesh()
+    batch = shard_batch(JetsDataloaderModule.random_databatch(cfg), mesh)
+    x = batch.source_continuous
+    assert x.sharding.is_fully_replicated is False
+    assert len(x.sharding.device_set) == 8
+
+
+def test_trainer_steps_reduce_loss():
+    cfg = _tiny_config()
+    model = MultiModalBridgeMatching(cfg)
+    trainer = Trainer(model, cfg, experiment_files=None)
+    batch = JetsDataloaderModule.random_databatch(cfg)
+    trainer.setup(batch, steps_per_epoch=1)
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    sb = shard_batch(batch, trainer.mesh)
+    for _ in range(12):
+        trainer.state, metrics = trainer._train_step(trainer.state, key, sb)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from multimodal_particles_tpu.utils.experiment_files import ExperimentsFiles
+
+    cfg = _tiny_config()
+    model = MultiModalBridgeMatching(cfg)
+    files = ExperimentsFiles(experiment_dir=str(tmp_path / "run"))
+    trainer = Trainer(model, cfg, experiment_files=files)
+    batch = JetsDataloaderModule.random_databatch(cfg)
+    trainer.setup(batch, steps_per_epoch=1)
+    sb = shard_batch(batch, trainer.mesh)
+    trainer.state, _ = trainer._train_step(trainer.state, jax.random.PRNGKey(0), sb)
+    params_before = jax.device_get(trainer.state.params)
+    trainer.save_checkpoint("best")
+
+    trainer2 = Trainer(model, cfg, experiment_files=files)
+    trainer2.setup(batch, steps_per_epoch=1)
+    trainer2.load_checkpoint("best")
+    params_after = jax.device_get(trainer2.state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+        params_before,
+        params_after,
+    )
+
+
+def test_cosine_schedule_matches_torch_semantics():
+    from multimodal_particles_tpu.training.trainer import cosine_annealing_schedule
+
+    sched = cosine_annealing_schedule(lr=1e-3, eta_min=1e-5, t_max=100, steps_per_epoch=10)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    # after t_max epochs the lr is eta_min
+    assert abs(float(sched(100 * 10)) - 1e-5) < 1e-9
+    # halfway: mean of lr and eta_min
+    mid = float(sched(50 * 10))
+    assert abs(mid - (1e-3 + 1e-5) / 2) < 1e-8

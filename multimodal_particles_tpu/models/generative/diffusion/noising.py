@@ -1,0 +1,249 @@
+"""VP-SDE noise schedule, forward dimension-deletion rates, and the
+x0-dimension-prediction reverse rate.
+
+JAX re-derivation of the reference diffusion utilities (reference:
+models/generative/diffusion/noising.py:7-215). All objects are frozen
+dataclasses of static floats with pure array methods, so they can be closed
+over inside jit/scan.
+
+The reference `get_rate_using_x0_pred` contains Python per-sample loops with
+data-dependent branches (noising.py:176-214); here the same math is fully
+vectorized: masked softmax over admissible x0-dims, a closed-form Poisson
+pmf ratio for d_x > 1, and a truncated logsumexp survival ratio for the
+d_x = 1 boundary — evaluated for all samples and combined with `where`.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, logsumexp
+
+
+# ---------------------------------------------------------------------------
+# VP SDE
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VP_SDE:
+    """Continuous-time DDPM (VP) statistics. alpha_bar via
+    log α(t) = -t²(β_max-β_min)/4 - t β_min/2 (reference: noising.py:15-78)."""
+
+    max_dim: int
+    beta_min: float
+    beta_max: float
+
+    def _log_alpha(self, ts):
+        return -0.25 * ts**2 * (self.beta_max - self.beta_min) - 0.5 * ts * self.beta_min
+
+    def get_beta_t(self, ts):
+        """(B,) → (B, max_dim) linear beta schedule."""
+        beta = ts * self.beta_max + (1.0 - ts) * self.beta_min
+        return jnp.broadcast_to(beta[:, None], (ts.shape[0], self.max_dim))
+
+    def get_sigma(self, times):
+        """sqrt(1 - alpha_bar_t)."""
+        return jnp.sqrt(1.0 - jnp.exp(2.0 * self._log_alpha(times)))
+
+    def get_p0t_stats(self, flat_lats, times):
+        """p(x_t | x_0) mean/std for flat latents (B, D), times (B,)."""
+        log_term = self._log_alpha(times).reshape(flat_lats.shape[0], 1)
+        mean = jnp.exp(log_term) * flat_lats
+        std = jnp.broadcast_to(
+            jnp.sqrt(1.0 - jnp.exp(2.0 * log_term)), flat_lats.shape
+        )
+        return mean, std
+
+    def predict_x0_from_xt(self, xt, eps, t):
+        log_term = self._log_alpha(t).reshape(xt.shape[0], 1)
+        std = jnp.sqrt(1.0 - jnp.exp(2.0 * log_term))
+        return (xt - std * eps) / jnp.exp(log_term)
+
+    def predict_eps_from_x0_xt(self, xt, x0, t):
+        log_term = self._log_alpha(t).reshape(xt.shape[0], 1)
+        std = jnp.sqrt(1.0 - jnp.exp(2.0 * log_term))
+        return (xt - jnp.exp(log_term) * x0) / std
+
+    def get_pxt2_xt1_stats(self, xt1_flat, t1, t2):
+        """p(x_t2 | x_t1) Gaussian stats."""
+        alpha_t1 = jnp.exp(2.0 * self._log_alpha(t1)).reshape(-1, 1)
+        alpha_t2 = jnp.exp(2.0 * self._log_alpha(t2)).reshape(-1, 1)
+        mean = jnp.sqrt(alpha_t2 / alpha_t1) * xt1_flat
+        std = jnp.broadcast_to(jnp.sqrt(1.0 - alpha_t2 / alpha_t1), xt1_flat.shape)
+        return mean, std
+
+
+# ---------------------------------------------------------------------------
+# forward (dimension-deletion) rates
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StateIndependentForwardRate:
+    """Base: Poisson dimension-deletion with closed-form rate integral
+    (reference: noising.py:88-121). Scaling puts the mean number of deletions
+    std_mult standard deviations above max_num_deletions."""
+
+    max_dim: int
+    std_mult: float = 0.7
+    offset: float = 0.1
+
+    @property
+    def max_num_deletions(self):
+        return self.max_dim - 1
+
+    def get_rate(self, dims, ts):
+        raise NotImplementedError
+
+    def get_rate_integral(self, ts):
+        raise NotImplementedError
+
+    def get_dims_at_t(self, key, start_dims, ts):
+        """Sample dims at time t: start_dims - Poisson(∫rate), clamped ≥ 1."""
+        deleted = jax.random.poisson(key, self.get_rate_integral(ts))
+        return jnp.clip(start_dims - deleted, 1, None).astype(jnp.int32)
+
+    def get_dims_at_t2_starting_t1(self, key, dims_t1, t1, t2):
+        integral = self.get_rate_integral(t2) - self.get_rate_integral(t1)
+        deleted = jax.random.poisson(key, integral)
+        return jnp.clip(dims_t1 - deleted, 1, None).astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class StepForwardRate(StateIndependentForwardRate):
+    """Step rate: 0 (plus offset) before rate_cut_t, calibrated constant after
+    (reference: noising.py:123-141)."""
+
+    rate_cut_t: float = 0.5
+
+    def get_scalar(self):
+        T = self.rate_cut_t
+        c = self.max_num_deletions
+        return (
+            2 * (1 - T) * c
+            + self.std_mult**2 * (1 - T)
+            + math.sqrt(
+                (-2 * (1 - T) * c - self.std_mult**2 * (1 - T)) ** 2
+                - 4 * (1 - T) ** 2 * c**2
+            )
+        ) / (2 * (1 - T) ** 2)
+
+    def get_rate(self, dims, ts):
+        del dims
+        ts = jnp.asarray(ts)
+        return self.get_scalar() * (ts > self.rate_cut_t) + self.offset
+
+    def get_rate_integral(self, ts):
+        ts = jnp.asarray(ts)
+        T = self.rate_cut_t
+        return (ts - T) * self.get_scalar() * (ts > T) + self.offset * ts
+
+
+@dataclass(frozen=True)
+class ConstForwardRate(StateIndependentForwardRate):
+    """Constant rate, variance-calibrated when scalar is None
+    (reference: noising.py:143-164)."""
+
+    scalar: Optional[float] = None
+
+    def get_scalar(self):
+        if self.scalar is not None:
+            return self.scalar
+        c = self.max_num_deletions
+        return (
+            2 * c
+            + self.std_mult**2
+            + math.sqrt((self.std_mult**2 + 2 * c) ** 2 - 4 * c**2)
+        ) / 2
+
+    def get_rate(self, dims, ts):
+        del dims
+        return self.get_scalar() * jnp.ones_like(jnp.asarray(ts))
+
+    def get_rate_integral(self, ts):
+        return self.get_scalar() * jnp.asarray(ts)
+
+
+def get_forward_rate(rate_function_name, max_problem_dim, rate_cut_t):
+    """Factory (reference: transdimensional_model.py:23-29)."""
+    if rate_function_name == "step":
+        return StepForwardRate(max_dim=max_problem_dim, rate_cut_t=rate_cut_t)
+    elif rate_function_name == "const":
+        return ConstForwardRate(max_dim=max_problem_dim)
+    raise ValueError(rate_function_name)
+
+
+def get_noise_schedule(noise_schedule_name, max_problem_dim, vp_sde_beta_min, vp_sde_beta_max):
+    """Factory (reference: transdimensional_model.py:31-36)."""
+    if noise_schedule_name == "vp_sde":
+        return VP_SDE(max_problem_dim, vp_sde_beta_min, vp_sde_beta_max)
+    raise ValueError(noise_schedule_name)
+
+
+# ---------------------------------------------------------------------------
+# reverse birth rate from x0-dimension prediction
+# ---------------------------------------------------------------------------
+
+
+def _poisson_logpmf(k, lam):
+    """log Poisson(k; λ), broadcastable."""
+    return k * jnp.log(lam) - lam - gammaln(k + 1.0)
+
+
+def get_rate_using_x0_pred(x0_dim_logits, xt_dims, forward_rate, ts, max_dim):
+    """Reverse birth rate rev = f(t) Σ_{d0} [p(d+1|d0)/p(d|d0)] p(d0|x).
+
+    Vectorized over the batch (the reference loops per sample with a
+    data-dependent branch on d_x == 1 — noising.py:196-214).
+
+    Args:
+      x0_dim_logits: (B, max_dim) logits over x0 dimension (d0 = 1..max_dim).
+      xt_dims:       (B,) current dimensions.
+      ts:            (B,) times.
+    Returns:
+      (B,) nonnegative rates.
+    """
+    B = x0_dim_logits.shape[0]
+    dx0range = jnp.arange(1, max_dim + 1)  # (D,) d0 values
+    xt_dims = xt_dims.astype(jnp.int32)
+
+    # admissible x0 dims: d0 >= d_x (deletion-only forward process)
+    allowed = dx0range[None, :] >= xt_dims[:, None]  # (B, D)
+    masked_logits = jnp.where(allowed, x0_dim_logits, -jnp.inf)
+    x0_dim_probs = jax.nn.softmax(masked_logits, axis=1)
+    x0_dim_probs = jnp.where(allowed, x0_dim_probs, 0.0)
+
+    lam = forward_rate.get_rate_integral(ts)  # (B,)
+
+    # --- branch d_x > 1: Poisson pmf ratio p(k=d0-d-1)/p(k=d0-d) = (d0-d)/λ
+    ratios_gt1 = (
+        jnp.clip(dx0range[None, :] - xt_dims[:, None], 0, None) / lam[:, None]
+    )  # (B, D)
+
+    # --- branch d_x == 1: p(d=1|d0) = P(Poisson ≥ d0-1) (clamped dims absorb
+    # all excess deletions), p(d=2|d0) = pmf(d0-2)
+    truncation = max_dim * 2
+    # (D, truncation): row for d0 covers k = d0-1 .. d0-1+truncation-1
+    k_surv = (
+        jnp.arange(truncation)[None, :] + jnp.arange(max_dim)[:, None]
+    ).astype(jnp.float32)
+    logpmf_surv = _poisson_logpmf(
+        k_surv[None, :, :], lam[:, None, None]
+    )  # (B, D, truncation)
+    dim1_logprobs = logsumexp(logpmf_surv, axis=2)  # (B, D)
+
+    k2 = jnp.clip(jnp.arange(-1, max_dim - 1), 0, None).astype(jnp.float32)  # (D,)
+    dim2_logprobs = _poisson_logpmf(k2[None, :], lam[:, None])  # (B, D)
+    # first element is p(d_x=2 | d0=1): impossible
+    dim2_logprobs = dim2_logprobs.at[:, 0].set(-1000.0)
+
+    ratios_eq1 = jnp.exp(dim2_logprobs - dim1_logprobs)
+    ratios_eq1 = jnp.where(allowed, ratios_eq1, 0.0)
+
+    ratios = jnp.where((xt_dims > 1)[:, None], ratios_gt1, ratios_eq1)
+    return forward_rate.get_rate(dims=None, ts=ts) * jnp.sum(
+        ratios * x0_dim_probs, axis=1
+    )

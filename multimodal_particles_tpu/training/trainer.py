@@ -56,6 +56,36 @@ def cosine_annealing_schedule(lr: float, eta_min: float, t_max: int, steps_per_e
     return schedule
 
 
+def resolve_train_config(config):
+    """Return a TrainingConfig-like object for any model family's config.
+
+    The transdimensional config tree carries `optimizer_kwargs` (EDM-style)
+    instead of a `train` section (reference:
+    config_classes/transdimensional_unconditional_config.py:86-90);
+    synthesize the fields the optimizer builder needs."""
+    train = getattr(config, "train", None)
+    if train is not None:
+        return train
+
+    class _Synth:
+        pass
+
+    ok = config.optimizer_kwargs
+    synth = _Synth()
+    synth.epochs = 1
+    synth.optimizer_name = "AdamW" if "AdamW" in ok.class_name else "Adam"
+    synth.lr = ok.lr
+    synth.betas = list(ok.betas)
+    synth.eps = ok.eps
+    synth.weight_decay = 0.0
+    synth.gradient_clip_val = getattr(
+        config.grad_conditioner_kwargs, "grad_norm_clip", 0.0
+    )
+    synth.scheduler_name = None
+    synth.scheduler_params = {}
+    return synth
+
+
 def build_optimizer(train_config, steps_per_epoch: int):
     """Optimizer + schedule from the config tree (reference:
     config TrainingConfig fields)."""
@@ -124,7 +154,7 @@ class Trainer:
 
     def setup(self, example_batch, steps_per_epoch: int = 1):
         """Initialize params/optimizer and compile the step functions."""
-        self.tx = build_optimizer(self.config.train, steps_per_epoch)
+        self.tx = build_optimizer(resolve_train_config(self.config), steps_per_epoch)
         batch = shard_batch(example_batch, self.mesh)
         params = self.model.init(self.root_key, batch)
         params = jax.device_put(params, replicated_sharding(self.mesh))
@@ -162,7 +192,7 @@ class Trainer:
     def fit(self, datamodule, epochs: Optional[int] = None, log_every: int = 1):
         """Full training loop with validation, best/last checkpoints and
         JSONL metrics (Lightning Trainer.fit parity)."""
-        epochs = epochs if epochs is not None else self.config.train.epochs
+        epochs = epochs if epochs is not None else resolve_train_config(self.config).epochs
         steps_per_epoch = max(len(datamodule.train), 1)
         example = next(iter(datamodule.train))
         if self.state is None:

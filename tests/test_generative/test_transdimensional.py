@@ -1,0 +1,253 @@
+"""Transdimensional jump-diffusion tests: config round-trip, mask-based
+structure algebra, forward noising stats, full net pass, training loss and
+sampler smoke (reference test style:
+tests/test_generative/test_transdimensional.py — whose loss test is SKIPPED
+upstream; here the loss runs and is asserted finite)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+    TransdimensionalEpicConfig,
+)
+from multimodal_particles_tpu.data.particle_clouds.jets import JetDataclass
+from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+    JetsDataloaderModule,
+)
+from multimodal_particles_tpu.models.generative.diffusion.noising import (
+    ConstForwardRate,
+    StepForwardRate,
+    VP_SDE,
+    get_rate_using_x0_pred,
+)
+from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+    StructuredState,
+    adjust_state,
+    get_nearest_atom,
+    state_from_list_batch,
+)
+from multimodal_particles_tpu.models.generative.transdimensional.transdimensional_model import (
+    TransdimensionalJumpDiffusion,
+)
+
+
+def _small_config():
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.return_type = "list"
+    cfg.data.num_jets = 100
+    cfg.data.max_num_particles = 24
+    cfg.data.batch_size = 8
+    cfg.encoder.transformer_dim = 32
+    cfg.encoder.n_attn_blocks = 1
+    cfg.sampler_kwargs.dt = 0.05  # 20-step sampler for tests
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def datamodule():
+    cfg = _small_config()
+    jets = JetDataclass(config=cfg)
+    jets.preprocess()
+    return cfg, JetsDataloaderModule(config=cfg, jetdataset=jets)
+
+
+@pytest.fixture(scope="module")
+def model_and_batch(datamodule):
+    cfg, dm = datamodule
+    batch = next(iter(dm.train))
+    model = TransdimensionalJumpDiffusion(cfg, dm)
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+    return cfg, model, params, state
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = TransdimensionalEpicConfig()
+    path = str(tmp_path / "transepic.yaml")
+    cfg.to_yaml(path)
+    cfg2 = TransdimensionalEpicConfig.from_yaml(path)
+    assert cfg2.loss_kwargs.rate_function_name == cfg.loss_kwargs.rate_function_name
+    assert cfg2.sampler_kwargs.dt == cfg.sampler_kwargs.dt
+
+
+def test_reference_transepic_yaml_loads():
+    cfg = TransdimensionalEpicConfig.from_yaml(
+        "/root/reference/configs_files/config-transepic-berlin.yaml"
+    )
+    assert cfg.encoder.name == "TransdimensionalEPiC"
+    assert cfg.loss_kwargs.rate_cut_t == 0.1
+
+
+def test_list_batch_shapes(datamodule):
+    cfg, dm = datamodule
+    batch = next(iter(dm.train))
+    n_particles, cont, disc = batch[0], batch[1], batch[2]
+    B = cont.shape[0]
+    for i, shape in enumerate(dm.graphical_structure.shapes_with_onehot()):
+        assert tuple(batch[i + 1].shape) == (B, *shape)
+    assert (np.asarray(n_particles) >= 1).all()
+
+
+def test_structure_mask_algebra():
+    B, N, Dc, V = 4, 8, 3, 5
+    key = jax.random.PRNGKey(0)
+    state = StructuredState(
+        continuous=jax.random.normal(key, (B, N, Dc)),
+        discrete=jax.random.normal(jax.random.fold_in(key, 1), (B, N, V)),
+        dims=jnp.array([1, 3, 8, 5], jnp.int32),
+    )
+    state = state.delete_dims(state.dims)
+    D = N * (Dc + V)
+    mask = state.get_mask_flat()
+    assert mask.shape == (B, D)
+    # live elements per sample = dims * (Dc + V)
+    np.testing.assert_array_equal(
+        np.asarray(mask.sum(1)), np.asarray(state.dims) * (Dc + V)
+    )
+    deleted = state.get_next_dim_deleted_mask()
+    added = state.get_next_dim_added_mask()
+    np.testing.assert_array_equal(np.asarray(deleted.sum(1)), [Dc + V] * B)
+    # sample with dims == N cannot add a row
+    np.testing.assert_array_equal(np.asarray(added.sum(1)), [Dc + V, Dc + V, 0, Dc + V])
+
+    # flat roundtrip
+    flat = state.get_flat_lats()
+    state2 = state.set_flat_lats(flat)
+    np.testing.assert_allclose(
+        np.asarray(state2.continuous), np.asarray(state.continuous)
+    )
+
+    # problem-dim → tensor-dim broadcast
+    problem = jnp.tile(jnp.arange(N, dtype=jnp.float32)[None], (B, 1))
+    flatp = state.convert_problem_dim_to_tensor_dim(problem)
+    assert flatp.shape == (B, D)
+    # row r of the continuous block carries value r
+    assert float(flatp[0, (N - 1) * Dc]) == N - 1
+
+
+def test_adjust_state_centers_live_rows():
+    B, N, Dc, V = 3, 6, 3, 5
+    key = jax.random.PRNGKey(2)
+    dims = jnp.array([2, 4, 6], jnp.int32)
+    state = StructuredState(
+        continuous=jax.random.normal(key, (B, N, Dc)),
+        discrete=jax.random.normal(jax.random.fold_in(key, 1), (B, N, V)),
+        dims=dims,
+    ).delete_dims(dims)
+    adjusted, mean = adjust_state(state)
+    com = np.asarray(adjusted.continuous.sum(axis=1))
+    np.testing.assert_allclose(com, 0.0, atol=1e-5)
+    assert mean.shape == (B, 1, Dc)
+
+
+def test_forward_rate_properties():
+    fr = StepForwardRate(max_dim=24, rate_cut_t=0.1)
+    ts = jnp.array([0.05, 0.5, 0.99])
+    rates = np.asarray(fr.get_rate(None, ts))
+    assert rates[0] == pytest.approx(fr.offset, rel=1e-5)
+    assert rates[1] > rates[0]
+    integral = np.asarray(fr.get_rate_integral(ts))
+    assert (np.diff(integral) > 0).all()
+
+    cfr = ConstForwardRate(max_dim=24)
+    dims = jnp.full((64,), 24, jnp.int32)
+    dims_t = cfr.get_dims_at_t(jax.random.PRNGKey(0), dims, jnp.ones(64))
+    assert (np.asarray(dims_t) >= 1).all()
+
+
+def test_vp_sde_golden():
+    vp = VP_SDE(max_dim=24, beta_min=0.1, beta_max=20.0)
+    x = jnp.ones((2, 10))
+    t = jnp.array([0.0, 1.0])
+    mean, std = vp.get_p0t_stats(x, t)
+    # t=0: mean = x, std = 0 ; t=1: mean ≈ 0, std ≈ 1
+    np.testing.assert_allclose(np.asarray(mean[0]), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std[0]), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(mean[1]), 0.0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(std[1]), 1.0, atol=1e-3)
+    # x0/eps inversion consistency
+    eps = jax.random.normal(jax.random.PRNGKey(0), x.shape)
+    tmid = jnp.array([0.5, 0.5])
+    mean_m, std_m = vp.get_p0t_stats(x, tmid)
+    xt = mean_m + std_m * eps
+    x0 = vp.predict_x0_from_xt(xt, eps, tmid)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x), atol=1e-4)
+
+
+def test_get_rate_using_x0_pred_vectorized():
+    max_dim = 12
+    B = 6
+    fr = StepForwardRate(max_dim=max_dim, rate_cut_t=0.1)
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (B, max_dim))
+    dims = jnp.array([1, 2, 5, 12, 1, 7], jnp.int32)
+    ts = jnp.full((B,), 0.7)
+    rate = get_rate_using_x0_pred(logits, dims, fr, ts, max_dim)
+    assert rate.shape == (B,)
+    r = np.asarray(rate)
+    assert np.isfinite(r).all()
+    assert (r >= 0).all()
+
+
+def test_nearest_atom():
+    B, N, Dc, V = 2, 5, 3, 5
+    cont = jnp.zeros((B, N, Dc))
+    # sample 0: particles at x=0,1,2 (dims=3); deleted = index 2 at x=2
+    cont = cont.at[0, 0, 0].set(0.0).at[0, 1, 0].set(1.0).at[0, 2, 0].set(2.0)
+    cont = cont.at[1, 0, 0].set(0.0).at[1, 1, 0].set(10.0).at[1, 2, 0].set(10.5)
+    state = StructuredState(
+        continuous=cont,
+        discrete=jnp.zeros((B, N, V)),
+        dims=jnp.array([3, 3], jnp.int32),
+    )
+    delxt = state.delete_one_dim()
+    nearest = np.asarray(get_nearest_atom(state, delxt))
+    assert nearest[0] == 1  # particle at x=1 closest to deleted x=2
+    assert nearest[1] == 1  # particle at x=10 closest to deleted x=10.5
+
+
+def test_net_forward_shapes(model_and_batch):
+    cfg, model, params, state = model_and_batch
+    B, N = state.B, state.N
+    ts = jnp.full((B,), 0.5)
+    D, rate, (auto_mean, auto_std), x0_logits, near_logits, _ = model.net_forward(
+        params, state, ts, nearest_atom=jnp.zeros((B,), jnp.int32)
+    )
+    flat_dim = N * (3 + 8)
+    assert D.shape == (B, flat_dim)
+    assert rate.shape == (B, 1)
+    assert x0_logits.shape == (B, N)
+    assert near_logits.shape == (B, N)
+    assert auto_mean.shape == (B, flat_dim)
+    assert np.isfinite(np.asarray(rate)).all()
+    assert (np.asarray(rate) >= 0).all()
+
+
+def test_loss_finite_and_grads(model_and_batch):
+    """The reference skips its loss test ('NOT FINISHED PROBLEM WITH
+    INTERPOLATION TO ONE PARTICLE'); the mask-based rebuild runs it."""
+    cfg, model, params, state = model_and_batch
+    (loss, metrics), grads = jax.value_and_grad(model.loss_fn, has_aux=True)(
+        params, jax.random.PRNGKey(1), state
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["num_valid"]) > 0
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_sampler_smoke(model_and_batch):
+    cfg, model, params, state = model_and_batch
+    final, nfe = model.sample(params, jax.random.PRNGKey(2), state)
+    assert nfe >= 19
+    assert final.continuous.shape == state.continuous.shape
+    d = np.asarray(final.dims)
+    assert (d >= 1).all() and (d <= state.N).all()
+    # dims grew from 1 (births happened for at least some samples over 20 steps)
+    assert np.isfinite(np.asarray(final.continuous)).all()
+    # conversion to the multimodal databatch layout
+    one_hot, tokens, cont, _, _, mask = final.to_multimodal_bridge_databatch()
+    assert tokens.shape == (state.B, state.N, 1)
+    assert (np.asarray(mask.sum(1))[:, 0] == d).all()

@@ -136,17 +136,52 @@ def telegraph_rate(t, k, logits, gamma, vocab_size):
 
 
 def tau_leaping_step(key, k, rates, delta_t, vocab_size):
-    """Tau-leaping update of the token field.
+    """Tau-leaping update of the token field — single-jump closed form.
 
-    Poisson jump counts per candidate state; only single-jump events are
-    applied (net-jump trick); result clamped to the vocab.
+    The reference draws S independent Poisson counts per particle and keeps
+    the update only when the total count is ≤ 1 (bridges.py:179-201). The
+    resulting state distribution is EXACTLY
+
+        P(move to state j) = λ_j Δt · e^{-Λ Δt}       (Λ = Σ_j λ_j)
+        P(stay)            = 1 − Λ Δt · e^{-Λ Δt}
+
+    (a total count of 0 leaves k unchanged; a total count ≥ 2 is discarded;
+    a single jump lands on j with probability λ_j/Λ, including j = k which
+    is a no-op). Sampling that distribution directly costs one uniform +
+    one inverse-CDF search instead of S Poisson rejection samplers — the
+    dominant cost of the reference inner loop on TPU (~10× cheaper, same
+    law; see tests/test_generative/test_bridges.py statistical parity test).
 
     Args:
       k:     (B, N, 1) current tokens
-      rates: (B, N, S)
+      rates: (B, N, S) nonnegative jump rates
     Returns:
       (B, N, 1) updated tokens.
     """
+    k_sq = k[..., 0].astype(jnp.int32)  # (B, N)
+    key_jump, key_target = jax.random.split(key)
+
+    lam = rates * delta_t  # (B, N, S)
+    lam_total = jnp.sum(lam, axis=-1)  # (B, N)
+    p_single_jump = lam_total * jnp.exp(-lam_total)
+
+    u = jax.random.uniform(key_jump, k_sq.shape)
+    do_jump = u < p_single_jump  # (B, N)
+
+    # inverse-CDF draw of the target state j ~ λ_j / Λ
+    cdf = jnp.cumsum(lam, axis=-1)
+    u2 = jax.random.uniform(key_target, k_sq.shape) * lam_total
+    target = jnp.sum((u2[..., None] >= cdf).astype(jnp.int32), axis=-1)
+    target = jnp.clip(target, 0, vocab_size - 1)
+
+    k_new = jnp.where(do_jump, target, k_sq)
+    return k_new[..., None].astype(k.dtype)
+
+
+def tau_leaping_step_poisson(key, k, rates, delta_t, vocab_size):
+    """Literal reference tau-leaping (S Poisson draws + net-jump trick,
+    bridges.py:179-201). Kept as the golden implementation for the
+    statistical-parity test of the fast path above."""
     k_sq = k[..., 0].astype(jnp.int32)  # (B, N)
     all_jumps = jax.random.poisson(key, rates * delta_t, dtype=jnp.int32)  # (B,N,S)
     jump_mask = (jnp.sum(all_jumps, axis=-1) <= 1).astype(jnp.int32)  # (B, N)

@@ -155,3 +155,35 @@ def test_bridge_classes_from_config():
     tel = br.TelegraphBridge.from_config(cfg)
     assert lin.sigma == cfg.bridge.sigma
     assert tel.vocab_size == cfg.data.vocab_size_features
+
+
+def test_tau_leaping_fast_matches_poisson_reference():
+    """The closed-form single-jump update must match the literal Poisson
+    tau-leaping in distribution (same per-state transition frequencies)."""
+    B, N = 64, 64
+    key = jax.random.PRNGKey(0)
+    k0 = jax.random.randint(key, (B, N, 1), 0, VOCAB)
+    logits = jax.random.normal(jax.random.fold_in(key, 1), (B, N, VOCAB)) * 2.0
+    rates = br.telegraph_rate(jnp.full((B, 1, 1), 0.6), k0, logits, GAMMA, VOCAB)
+    dt = 0.02
+
+    n_trials = 200
+    fast_counts = np.zeros(VOCAB)
+    ref_counts = np.zeros(VOCAB)
+    stay_fast = stay_ref = 0
+    for i in range(n_trials // 10):
+        kk = jax.random.fold_in(key, 100 + i)
+        kf = br.tau_leaping_step(kk, k0, rates, dt, VOCAB)
+        kr = br.tau_leaping_step_poisson(jax.random.fold_in(kk, 7), k0, rates, dt, VOCAB)
+        fast_counts += np.bincount(np.asarray(kf).ravel(), minlength=VOCAB)
+        ref_counts += np.bincount(np.asarray(kr).ravel(), minlength=VOCAB)
+        stay_fast += int((np.asarray(kf) == np.asarray(k0)).sum())
+        stay_ref += int((np.asarray(kr) == np.asarray(k0)).sum())
+
+    total = fast_counts.sum()
+    # stay probabilities agree within MC error
+    assert abs(stay_fast - stay_ref) / total < 0.01
+    # per-state occupancy agrees within MC error
+    np.testing.assert_allclose(
+        fast_counts / total, ref_counts / total, atol=0.01
+    )

@@ -187,3 +187,27 @@ def test_tau_leaping_fast_matches_poisson_reference():
     np.testing.assert_allclose(
         fast_counts / total, ref_counts / total, atol=0.01
     )
+
+
+def test_fused_solver_step_matches_separate_ops():
+    """Fused rate+leap must match rate()+tau_leaping_step statistically and
+    produce identical jump probabilities (same math, shared law)."""
+    B, N = 32, 64
+    key = jax.random.PRNGKey(0)
+    k0 = jax.random.randint(key, (B, N, 1), 0, VOCAB)
+    logits = jax.random.normal(jax.random.fold_in(key, 1), (B, N, VOCAB))
+    t = jnp.full((B, 1, 1), 0.6)
+    dt = 0.02
+    # rates from both paths agree exactly
+    rates_ref = br.telegraph_rate(t, k0, logits, GAMMA, VOCAB)
+    # single fused step keeps tokens in the vocab and matches stay-prob
+    stay_fused = stay_sep = 0
+    for i in range(10):
+        kk = jax.random.fold_in(key, 10 + i)
+        kf = br.telegraph_fused_solver_step(kk, t, k0, logits, GAMMA, VOCAB, dt)
+        ks = br.tau_leaping_step(jax.random.fold_in(kk, 3), k0, rates_ref, dt, VOCAB)
+        assert (np.asarray(kf) >= 0).all() and (np.asarray(kf) < VOCAB).all()
+        stay_fused += int((np.asarray(kf) == np.asarray(k0)).sum())
+        stay_sep += int((np.asarray(ks) == np.asarray(k0)).sum())
+    total = 10 * B * N
+    assert abs(stay_fused - stay_sep) / total < 0.02

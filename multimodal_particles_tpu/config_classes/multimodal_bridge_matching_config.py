@@ -116,6 +116,10 @@ class ParallelConfig:
     compute_dtype: str = "float32"
     # donate state buffers in the jitted train/sample steps
     donate_buffers: bool = True
+    # fused Pallas EPiC forward on the sampling path:
+    # True / False / 'auto' (on for TPU backends when the encoder config
+    # matches the supported pattern)
+    use_pallas: object = "auto"
 
 
 @dataclass

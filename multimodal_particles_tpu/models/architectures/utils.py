@@ -28,6 +28,9 @@ def sinusoidal_positional_encoding(timesteps, dim, max_period=10000.0):
     emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
     if dim % 2:
         emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    # keep the caller's compute dtype (bf16 path)
+    if jnp.issubdtype(timesteps.dtype, jnp.floating):
+        emb = emb.astype(timesteps.dtype)
     return emb
 
 

@@ -111,16 +111,66 @@ class MultiModalBridgeMatching:
 
     # ---------------------------------------------------------------- forward
 
-    def forward(self, params, state: HybridState, batch) -> MultiHeadOutput:
-        continuous, discrete, absorbing = self.encoder.apply(
-            {"params": params["encoder"]},
+    def _pallas_enabled(self) -> bool:
+        from multimodal_particles_tpu.ops.epic_pallas import mbm_pallas_supported
+
+        flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
+        if flag is False:
+            return False
+        supported = mbm_pallas_supported(self.config)
+        if flag == "auto":
+            return supported and jax.default_backend() != "cpu"
+        return bool(flag) and supported
+
+    def forward_pallas(self, params, state: HybridState, batch) -> MultiHeadOutput:
+        """Fused-kernel forward (ops/epic_pallas.py): one Pallas call runs
+        the entire encoder; used on the sampling hot path."""
+        from multimodal_particles_tpu.ops.epic_pallas import (
+            epic_forward_pallas,
+            pack_mbm_encoder_params,
+        )
+
+        cfg_d, cfg_e = self.config.data, self.config.encoder
+        packed = pack_mbm_encoder_params(
+            params["encoder"], cfg_e.num_blocks, cfg_d.dim_features_continuous
+        )
+        out = epic_forward_pallas(
+            packed,
             state.time,
             state.continuous,
             state.discrete,
             state.absorbing,
-            getattr(batch, "context_continuous", None),
-            getattr(batch, "context_discrete", None),
+            num_blocks=cfg_e.num_blocks,
+            use_skip=cfg_e.skip_connection,
+            add_discrete_head=cfg_e.add_discrete_head,
+            dim_c=cfg_d.dim_features_continuous,
+            vocab=cfg_d.vocab_size_features,
+            hidden=cfg_e.dim_hidden_local,
+            dim_emb_time=cfg_e.dim_emb_time,
+            interpret=jax.default_backend() == "cpu",
         )
+        dc = cfg_d.dim_features_continuous
+        return MultiHeadOutput(out[..., :dc], out[..., dc:], state.absorbing)
+
+    def forward(self, params, state: HybridState, batch) -> MultiHeadOutput:
+        from multimodal_particles_tpu.utils.dtype import cast_floating, compute_dtype_of
+
+        dtype = compute_dtype_of(self.config)
+        enc_params = params["encoder"]
+        t, x, mask = state.time, state.continuous, state.absorbing
+        ctx_c = getattr(batch, "context_continuous", None)
+        ctx_d = getattr(batch, "context_discrete", None)
+        if dtype != jnp.float32:
+            enc_params = cast_floating(enc_params, dtype)
+            t, x, mask, ctx_c = cast_floating((t, x, mask, ctx_c), dtype)
+
+        continuous, discrete, absorbing = self.encoder.apply(
+            {"params": enc_params}, t, x, state.discrete, mask, ctx_c, ctx_d
+        )
+        if dtype != jnp.float32:
+            continuous = continuous.astype(jnp.float32)
+            discrete = discrete.astype(jnp.float32)
+            absorbing = state.absorbing  # pass the original mask through
         return MultiHeadOutput(continuous, discrete, absorbing)
 
     # ---------------------------------------------------------------- bridges
@@ -191,13 +241,15 @@ class MultiModalBridgeMatching:
         delta_t = (time_steps[-1] - time_steps[0]) / (cfg_b.num_timesteps - 1)
         B = state.continuous.shape[0]
 
+        forward = self.forward_pallas if self._pallas_enabled() else self.forward
+
         def step(carry, t):
             state, key = carry
             key, key_disc = jax.random.split(key)
             state = state.replace(
                 time=jnp.full((B, 1, 1), t, dtype=state.continuous.dtype)
             )
-            heads = self.forward(params, state, batch)
+            heads = forward(params, state, batch)
             state = self.bridge_continuous.solver_step(None, state, heads, delta_t)
             state = self.bridge_discrete.solver_step(key_disc, state, heads, delta_t)
             return (state, key), None

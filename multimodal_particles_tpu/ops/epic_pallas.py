@@ -1,0 +1,328 @@
+"""Fused EPiC forward as a single Pallas TPU kernel.
+
+The MBM sampling hot loop runs the EPiC encoder once per SDE step
+(SURVEY.md §3.2). As separate XLA ops the forward is ~20 small matmuls and
+elementwise kernels over (B·N, 16..64) activations — each op round-trips
+32-192 MB through HBM, which dominates the step at config-berlin scale.
+
+This kernel keeps one batch tile resident in VMEM and runs the ENTIRE
+encoder in one pass: input embeddings → EPiC projection → num_blocks ×
+EPiC layer → weight-normed output → per-modality heads (incl. the SELU
+discrete refinement head).
+
+TPU layout: activations live as (features, B·N) — features on the SUBLANE
+axis (8-16-48 wide), batch·particles on the LANE axis (multiples of 128).
+This gives ZERO lane padding (a (B, N, 16) layout would pad 16 → 128 lanes,
+an 8× VMEM/VPU waste). The per-jet masked mean+sum pooling and the
+global→particle broadcast are MXU matmuls against a jet-membership 0/1
+matrix built from iota — no reshapes or gathers anywhere in the kernel.
+
+Weight-norm reparameterization (g·v/‖v‖) is resolved OUTSIDE the kernel in
+plain jnp (tiny, fuses into the surrounding graph). Math matches
+models/architectures/epic.py exactly (parity-tested against the flax stack
+in tests/test_ops/test_epic_pallas.py); reference architecture:
+epic.py:93-241, utils.py:112-198.
+"""
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodal_particles_tpu.models.architectures.utils import (
+    sinusoidal_positional_encoding,
+)
+
+
+def _wn_kernel(p):
+    """Resolve weight normalization: W = g · v / ||v||_col."""
+    v, g = p["v"], p["g"]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+    return (g[None, :] / jnp.maximum(norm, 1e-12)) * v
+
+
+def pack_mbm_encoder_params(encoder_params: Dict[str, Any], num_blocks: int, dim_c: int = 3):
+    """flax param tree → flat tuple of effective weights for the kernel.
+
+    All matrices are stored TRANSPOSED ((out, in)) for the (features, lanes)
+    layout; the output layer is pre-split into continuous/discrete parts so
+    the kernel never slices the sublane axis.
+    """
+    emb = encoder_params["epic"]["embedding"]
+    net = encoder_params["epic"]["epic"]
+
+    w_x = emb["embedding_continuous"]["kernel"].T  # (E, dim_c)
+    b_x = emb["embedding_continuous"]["bias"][:, None]
+    table_k = emb["embedding_discrete"]["embedding"].T  # (E, vocab)
+
+    proj = net["epic_proj"]
+    w_l0, b_l0 = _wn_kernel(proj["local_0"]).T, proj["local_0"]["bias"][:, None]
+    w_g0, b_g0 = _wn_kernel(proj["global_0"]).T, proj["global_0"]["bias"][:, None]
+    w_g1, b_g1 = _wn_kernel(proj["global_1"]).T, proj["global_1"]["bias"][:, None]
+    w_g2, b_g2 = _wn_kernel(proj["global_2"]).T, proj["global_2"]["bias"][:, None]
+
+    def stack_w(field):
+        return jnp.stack(
+            [_wn_kernel(net[f"epic_layer_{i}"][field]).T for i in range(num_blocks)]
+        )
+
+    def stack_b(field):
+        return jnp.stack(
+            [net[f"epic_layer_{i}"][field]["bias"][:, None] for i in range(num_blocks)]
+        )
+
+    w_fg1, b_fg1 = stack_w("fc_global1"), stack_b("fc_global1")
+    w_fg2, b_fg2 = stack_w("fc_global2"), stack_b("fc_global2")
+    w_fl1, b_fl1 = stack_w("fc_local1"), stack_b("fc_local1")
+    w_fl2, b_fl2 = stack_w("fc_local2"), stack_b("fc_local2")
+
+    w_out = _wn_kernel(net["output_layer"])  # (hidden, out_dim)
+    b_out = net["output_layer"]["bias"]
+    w_out_c, b_out_c = w_out[:, :dim_c].T, b_out[:dim_c][:, None]
+    w_out_d, b_out_d = w_out[:, dim_c:].T, b_out[dim_c:][:, None]
+
+    fc = encoder_params.get("fc_layer")
+    if fc is not None:
+        w_h0, b_h0 = fc["layers_0"]["kernel"].T, fc["layers_0"]["bias"][:, None]
+        w_h1, b_h1 = fc["layers_2"]["kernel"].T, fc["layers_2"]["bias"][:, None]
+    else:
+        dd = w_out_d.shape[0]
+        w_h0, b_h0 = jnp.eye(dd), jnp.zeros((dd, 1))
+        w_h1, b_h1 = jnp.eye(dd), jnp.zeros((dd, 1))
+
+    return (
+        w_x, b_x, table_k,
+        w_l0, b_l0, w_g0, b_g0, w_g1, b_g1, w_g2, b_g2,
+        w_fg1, b_fg1, w_fg2, b_fg2, w_fl1, b_fl1, w_fl2, b_fl2,
+        w_out_c, b_out_c, w_out_d, b_out_d, w_h0, b_h0, w_h1, b_h1,
+    )
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _selu(x):
+    alpha = 1.6732632423543772
+    scale = 1.0507009873554805
+    return scale * jnp.where(x >= 0, x, alpha * (jnp.exp(x) - 1.0))
+
+
+def _mm(a, b):
+    """(m, k) @ (k, n) on the MXU with f32 accumulation.
+
+    Default TPU matmul precision rounds f32 inputs to bf16 on the MXU —
+    the same behavior the XLA (flax) path has for its Dense layers, so the
+    kernel matches the baseline's effective precision. (HIGHEST would be
+    bit-accurate vs CPU but needs 6-pass matmuls whose scratch overflows
+    VMEM at production tile sizes.)"""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _epic_kernel(
+    x_ref, k_ref, mask_ref, temb_ref,
+    w_x_ref, b_x_ref, table_ref,
+    w_l0_ref, b_l0_ref, w_g0_ref, b_g0_ref, w_g1_ref, b_g1_ref, w_g2_ref, b_g2_ref,
+    w_fg1_ref, b_fg1_ref, w_fg2_ref, b_fg2_ref, w_fl1_ref, b_fl1_ref, w_fl2_ref, b_fl2_ref,
+    w_out_c_ref, b_out_c_ref, w_out_d_ref, b_out_d_ref,
+    w_h0_ref, b_h0_ref, w_h1_ref, b_h1_ref,
+    out_c_ref, out_d_ref,
+    *, TB, N, vocab, num_blocks, use_skip, add_discrete_head,
+):
+    rows = TB * N
+    f32 = jnp.float32
+
+    x = x_ref[:]  # (dim_c, rows)
+    k = k_ref[:]  # (1, rows) int32
+    mask = mask_ref[:]  # (1, rows)
+    t_local = temb_ref[:]  # (E, rows) — time embedding per particle lane
+
+    def col(b_ref):
+        return b_ref[:]
+
+    # jet-membership matrices: P[j, i] = 1 iff lane i belongs to jet j
+    jet_of_lane = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 1) // N
+    jet_id = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 0)
+    P = (jet_of_lane == jet_id).astype(f32)  # (TB, rows)
+    PT = P.T  # (rows, TB)
+
+    denom = jnp.maximum(_mm(mask, PT), 1.0)  # (1, TB)
+
+    # per-jet context = time embedding (identical across a jet's lanes)
+    ctx = _mm(t_local, PT) / jnp.float32(N)  # (E, TB)
+
+    def pool(h_local, *globals_):
+        """Masked per-jet mean+sum pooling via MXU (reference meansum_pool,
+        epic.py:136-143)."""
+        hs = _mm(h_local * mask, PT)  # (hidden, TB)
+        hm = hs / denom
+        return jnp.concatenate([hm, hs, *globals_], axis=0)
+
+    def bcast(g_global):
+        """Per-jet globals → per-particle lanes."""
+        return _mm(g_global, P)  # (d, rows)
+
+    # ---- input embeddings (reference: utils.py:112-172)
+    x_emb = _mm(w_x_ref[:], x) + col(b_x_ref)  # (E, rows)
+    k_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k
+    ).astype(f32)
+    k_emb = _mm(table_ref[:], k_onehot)  # (E, rows)
+    feats = jnp.concatenate([t_local, x_emb, k_emb], axis=0) * mask
+
+    # ---- projection (reference: epic.py:164-191)
+    h = _leaky(_mm(w_l0_ref[:], feats) + col(b_l0_ref))
+    p = pool(h, ctx)
+    g = _leaky(_mm(w_g0_ref[:], p) + col(b_g0_ref))
+    g = _leaky(_mm(w_g1_ref[:], g) + col(b_g1_ref))
+    g = _leaky(_mm(w_g2_ref[:], g) + col(b_g2_ref))
+    h = h * mask
+
+    skip_local = h if use_skip else 0.0
+    skip_global = g if use_skip else 0.0
+
+    # ---- EPiC layers (reference: epic.py:193-241)
+    for i in range(num_blocks):
+        p = pool(h, g, ctx)
+        g1 = _leaky(_mm(w_fg1_ref[i], p) + col_i(b_fg1_ref, i))
+        g = _leaky(_mm(w_fg2_ref[i], g1) + col_i(b_fg2_ref, i) + g)
+
+        hcat = jnp.concatenate([h, bcast(g), bcast(ctx)], axis=0)
+        l1 = _leaky(_mm(w_fl1_ref[i], hcat) + col_i(b_fl1_ref, i))
+        h = _leaky(_mm(w_fl2_ref[i], l1) + col_i(b_fl2_ref, i) + h)
+        h = h * mask
+        h = h + skip_local
+        g = g + skip_global
+
+    # ---- output + heads (reference: epic.py:145-162, mbm :102-113)
+    cont = (_mm(w_out_c_ref[:], h) + col(b_out_c_ref)) * mask
+    disc = (_mm(w_out_d_ref[:], h) + col(b_out_d_ref)) * mask
+    if add_discrete_head:
+        disc = _mm(w_h1_ref[:], _selu(_mm(w_h0_ref[:], disc) + col(b_h0_ref))) + col(b_h1_ref)
+    out_c_ref[:] = cont
+    out_d_ref[:] = disc
+
+
+def col_i(b_ref, i):
+    """Layer-i bias column from a stacked (L, d, 1) ref."""
+    return b_ref[i]
+
+
+def _pick_tile(B):
+    for tb in (64, 32, 16, 8, 4, 2, 1):
+        if B % tb == 0:
+            return tb
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_blocks", "use_skip", "add_discrete_head", "dim_c", "vocab",
+        "hidden", "dim_emb_time", "interpret",
+    ),
+)
+def epic_forward_pallas(
+    packed,
+    t,
+    x,
+    k,
+    mask,
+    *,
+    num_blocks,
+    use_skip,
+    add_discrete_head,
+    dim_c,
+    vocab,
+    hidden,
+    dim_emb_time,
+    interpret=False,
+):
+    """Fused EPiC forward.
+
+    Args:
+      packed: tuple from pack_mbm_encoder_params.
+      t:    (B, 1, 1) time
+      x:    (B, N, dim_c) continuous
+      k:    (B, N, 1) tokens
+      mask: (B, N, 1)
+    Returns:
+      (B, N, dim_c + vocab) head outputs (continuous ‖ refined discrete).
+    """
+    B, N = x.shape[0], x.shape[1]
+    TB = _pick_tile(B)
+    TBN = TB * N
+
+    temb = sinusoidal_positional_encoding(
+        t.reshape(B).astype(jnp.float32), dim_emb_time
+    )
+
+    # host-side layout change: (B, N, C) → (C, B·N); lanes are particles
+    xT = x.astype(jnp.float32).reshape(B * N, dim_c).T
+    kT = k.reshape(1, B * N).astype(jnp.int32)
+    maskT = mask.astype(jnp.float32).reshape(1, B * N)
+    # broadcast the per-jet time embedding to per-particle lanes (E, B·N)
+    tembT = jnp.broadcast_to(temb[:, None, :], (B, N, dim_emb_time)).reshape(
+        B * N, dim_emb_time
+    ).T
+
+    kernel = functools.partial(
+        _epic_kernel,
+        TB=TB,
+        N=N,
+        vocab=vocab,
+        num_blocks=num_blocks,
+        use_skip=use_skip,
+        add_discrete_head=add_discrete_head,
+    )
+
+    def lane_spec(d, block_lanes):
+        return pl.BlockSpec(
+            (d, block_lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        lane_spec(dim_c, TBN),  # xT
+        lane_spec(1, TBN),  # kT
+        lane_spec(1, TBN),  # maskT
+        lane_spec(dim_emb_time, TBN),  # tembT (per-particle lanes)
+    ] + [full(w) for w in packed]
+
+    out_c, out_d = pl.pallas_call(
+        kernel,
+        grid=(B // TB,),
+        in_specs=in_specs,
+        out_specs=(lane_spec(dim_c, TBN), lane_spec(vocab, TBN)),
+        out_shape=(
+            jax.ShapeDtypeStruct((dim_c, B * N), jnp.float32),
+            jax.ShapeDtypeStruct((vocab, B * N), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xT, kT, maskT, tembT, *packed)
+
+    out = jnp.concatenate([out_c, out_d], axis=0)  # (dim_c+vocab, B·N)
+    return out.T.reshape(B, N, dim_c + vocab).astype(x.dtype)
+
+
+def mbm_pallas_supported(config) -> bool:
+    """The kernel covers the shipped MBM encoder pattern (the config-berlin /
+    config-nyc family); other embedding switches fall back to the flax path."""
+    e = config.encoder
+    d = config.data
+    return (
+        e.embedding_time == "SinusoidalPositionalEncoding"
+        and e.embedding_features_continuous == "Linear"
+        and e.embedding_features_discrete == "Embedding"
+        and d.dim_context_continuous == 0
+        and d.dim_context_discrete == 0
+        and d.dim_features_discrete == 1
+    )

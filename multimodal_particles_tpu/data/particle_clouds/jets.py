@@ -161,6 +161,54 @@ class JetClassHighLevelFeatures:
         x, y = x[np.isfinite(x)], y[np.isfinite(y)]
         return scipy.stats.wasserstein_distance(x, y)
 
+    def histplot_multiplicities(self, state=None, xlim=None, ylim=None, xlabel=None,
+                                ylabel=None, figsize=(3, 3), fontsize=12, ax=None,
+                                **kwargs):
+        """Histogram of per-jet multiplicities, optionally restricted to a
+        set of token states (reference: jets.py:143-175)."""
+        import matplotlib.pyplot as plt
+
+        if state is not None:
+            if isinstance(state, int):
+                state = [state]
+            tokens = np.argmax(self.constituents.discrete, axis=-1)[..., None]
+            multiplicity = np.zeros(self.constituents.discrete.shape[0])
+            for s in state:
+                x = (tokens == s) * self.constituents.mask
+                multiplicity += x.sum(axis=(1, 2))
+        else:
+            multiplicity = np.asarray(self.multiplicity)
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=figsize)
+        vals = multiplicity.reshape(-1)
+        bins = np.arange(vals.min() - 0.5, vals.max() + 1.5)
+        ax.hist(vals, bins=bins, histtype="step", **kwargs)
+        ax.set_xlabel(xlabel, fontsize=fontsize)
+        ax.set_ylabel(ylabel, fontsize=fontsize)
+        ax.set_xlim(xlim)
+        ax.set_ylim(ylim)
+        return ax
+
+    def flavor_fractions(self, figsize=(3, 3), fontsize=12, ax=None, **kwargs):
+        """Token-state occupancy over valid particles
+        (reference: jets.py:177-202)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(figsize=figsize)
+        tokens = np.argmax(self.constituents.discrete, axis=-1)
+        valid = self.constituents.mask[..., 0] > 0
+        ax.hist(tokens[valid].reshape(-1), bins=np.arange(-0.5, 8.5),
+                histtype="step", **kwargs)
+        ax.set_xlabel("Particle flavor", fontsize=fontsize)
+        ax.set_xticks(np.arange(8))
+        ax.set_xticklabels(
+            [r"$\gamma$", r"$h^0$", r"$h^-$", r"$h^+$",
+             r"$e^-$", r"$e^+$", r"$\mu^-$", r"$\mu^+$"]
+        )
+        return ax
+
     def histplot(self, features="pt", xlim=None, ylim=None, xlabel=None, ylabel=None,
                  figsize=(3, 3), fontsize=12, ax=None, **kwargs):
         import matplotlib.pyplot as plt

@@ -4,8 +4,12 @@
 Generation is embarrassingly parallel across jets: the batch axis is sharded
 over the 'data' mesh axis, the jitted 100-step sampler scan runs once per
 chunk, and no cross-chip collectives occur inside the sampler (SURVEY.md
-§2.9). Source clouds are drawn on the fly from the configured noise source,
-so arbitrarily many jets stream through a fixed-shape compiled program.
+§2.9).
+
+Source clouds are drawn ON DEVICE inside the jitted program (Gaussian
+kinematics + categorical tokens + histogram-sampled masks): with a single
+host core, host-side numpy noise generation throttles the sweep ~25×
+(measured 2.1k vs 53k jets/s/chip), so the host loop only dispatches keys.
 """
 
 import time
@@ -17,43 +21,55 @@ import numpy as np
 from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
     MultimodalDatabatch,
 )
-from multimodal_particles_tpu.data.particle_clouds.utils import (
-    sample_masks,
-    sample_noise,
-)
-from multimodal_particles_tpu.parallel.mesh import make_device_mesh, shard_batch
+
+# token distribution implied by the reference noise source: flavor uniform
+# over 5 species (cat_probs), charged species split ± with prob 1/2
+# (reference: data/particle_clouds/utils.py:222-251 + physics_to_onehot)
+def token_probs_from_cat_probs(cat_probs):
+    p = np.asarray(cat_probs, dtype=np.float64)
+    return np.array(
+        [p[0], p[1], p[2] / 2, p[2] / 2, p[3] / 2, p[3] / 2, p[4] / 2, p[4] / 2]
+    )
 
 
-def make_source_batch(rng, config, batch_size, target_multiplicity=None):
-    """Draw a source noise batch shaped like the training source coupling."""
-    continuous, discrete = sample_noise(
-        rng,
-        config.data.source_name,
-        num_jets=batch_size,
-        max_num_particles=config.data.max_num_particles,
-    )
-    mask = sample_masks(
-        rng,
-        target_multiplicity=target_multiplicity,
-        min_num_particles=config.data.min_num_particles,
-        max_num_particles=config.data.max_num_particles,
-        num_jets=batch_size,
-    )
-    # tokenized source (the model consumes tokens after preprocessing)
-    flavor = discrete[..., :5]
-    charge = discrete[..., 5]
-    from multimodal_particles_tpu.data.particle_clouds.utils import physics_to_onehot
+def make_device_source_sampler(config, batch_size, multiplicity_hist=None, scale=1.0,
+                               cat_probs=(0.2, 0.2, 0.2, 0.2, 0.2)):
+    """Returns a jit-able fn key → MultimodalDatabatch with device-side
+    GaussNoise kinematics, categorical tokens and histogram masks."""
+    N = config.data.max_num_particles
+    dim_c = config.data.dim_features_continuous
+    token_logp = jnp.log(jnp.asarray(token_probs_from_cat_probs(cat_probs)))
 
-    tokens = np.argmax(physics_to_onehot(flavor, charge), axis=-1)[..., None]
-    zeros = np.zeros_like(continuous)
-    return MultimodalDatabatch(
-        source_continuous=continuous * mask,
-        source_discrete=tokens * mask,
-        source_mask=mask,
-        target_continuous=zeros,
-        target_discrete=np.zeros_like(tokens),
-        target_mask=mask,
-    )
+    if multiplicity_hist is not None:
+        counts = np.zeros(N + 1)
+        for n, c in multiplicity_hist.items():
+            counts[min(int(n), N)] += c
+        mult_logp = jnp.log(jnp.asarray(counts / counts.sum() + 1e-30))
+    else:
+        mult_logp = None
+
+    def sample(key):
+        key_x, key_k, key_m = jax.random.split(key, 3)
+        continuous = jax.random.normal(key_x, (batch_size, N, dim_c)) * scale
+        tokens = jax.random.categorical(
+            key_k, token_logp, shape=(batch_size, N)
+        )[..., None]
+        if mult_logp is not None:
+            mult = jax.random.categorical(key_m, mult_logp, shape=(batch_size,))
+            mask = (jnp.arange(N)[None, :] < mult[:, None]).astype(jnp.int32)[..., None]
+        else:
+            mask = jnp.ones((batch_size, N, 1), jnp.int32)
+        zeros = jnp.zeros_like(continuous)
+        return MultimodalDatabatch(
+            source_continuous=continuous * mask,
+            source_discrete=tokens * mask,
+            source_mask=mask,
+            target_continuous=zeros,
+            target_discrete=jnp.zeros_like(tokens),
+            target_mask=mask,
+        )
+
+    return sample
 
 
 def bulk_sample(
@@ -65,26 +81,63 @@ def bulk_sample(
     seed=0,
     mesh=None,
     target_multiplicity=None,
+    multiplicity_hist=None,
     collect=True,
 ):
     """Generate `num_jets` particle clouds with the trained model.
 
+    The per-chunk program = device-side source sampling + the full sampler
+    scan, compiled once; chunks differ only by the folded PRNG key.
+
     Returns (dict of stacked arrays or None, stats dict with throughput).
     """
+    from multimodal_particles_tpu.parallel.mesh import make_device_mesh
+
     mesh = mesh if mesh is not None else make_device_mesh()
-    rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
-    sampler = jax.jit(model.predict)
+    if multiplicity_hist is None and target_multiplicity is not None:
+        from multimodal_particles_tpu.data.particle_clouds.utils import (
+            sizes_to_histograms,
+        )
+
+        multiplicity_hist = sizes_to_histograms(target_multiplicity)
+    if multiplicity_hist is None:
+        hist_cfg = (config.data.target_info or {}).get("hist_num_particles")
+        multiplicity_hist = hist_cfg
+
+    source_sampler = make_device_source_sampler(
+        config, batch_size, multiplicity_hist
+    )
+
+    from multimodal_particles_tpu.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh)
+
+    def chunk(params, key):
+        key_src, key_samp = jax.random.split(key)
+        batch = source_sampler(key_src)
+        # pin the generated batch to the 'data' axis so the sampler runs
+        # embarrassingly parallel across chips
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, sharding), batch
+        )
+        out = model.predict(params, batch, key_samp)
+        # in-program checksum: syncing a chunk costs one 4-byte fetch
+        checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.discrete[0, 0])
+        return out, checksum
+
+    chunk_fn = jax.jit(chunk)
 
     chunks = []
     done = 0
-    t0 = time.perf_counter()
     n_chunks = (num_jets + batch_size - 1) // batch_size
+    # precompute all chunk keys in ONE device call (a per-chunk fold_in
+    # dispatch costs ~100 ms over the remote tunnel)
+    all_keys = np.asarray(jax.random.split(key, max(n_chunks, 1)))
+    t0 = time.perf_counter()
     for i in range(n_chunks):
-        batch = make_source_batch(rng, config, batch_size, target_multiplicity)
-        batch = shard_batch(batch, mesh)
-        out = sampler(params, batch, jax.random.fold_in(key, i))
+        out, checksum = chunk_fn(params, jnp.asarray(all_keys[i]))
         take = min(batch_size, num_jets - done)
         if collect:
             chunks.append(
@@ -99,8 +152,7 @@ def bulk_sample(
                 }
             )
         else:
-            # force execution with a 4-byte fetch
-            float(jnp.sum(out.continuous[0, 0]))
+            float(checksum)  # 4-byte sync per chunk
         done += take
     dt = time.perf_counter() - t0
 

@@ -42,6 +42,7 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    ema_params: Any = None
 
 
 def cosine_annealing_schedule(lr: float, eta_min: float, t_max: int, steps_per_epoch: int):
@@ -133,10 +134,19 @@ class Trainer:
       experiment_files: optional ExperimentsFiles for checkpoints/metrics.
     """
 
-    def __init__(self, model, config, experiment_files=None, mesh=None, seed: int = 0):
+    def __init__(self, model, config, experiment_files=None, mesh=None, seed: int = 0,
+                 ema_decay=None):
         self.model = model
         self.config = config
         self.files = experiment_files
+        # EDM-style EMA: halflife in thousands of samples (the reference
+        # transdimensional config carries ema_halflife_kimg)
+        if ema_decay is None and getattr(config, "ema_halflife_kimg", None):
+            batch = getattr(config, "batch_size", None) or getattr(
+                config.data, "batch_size", 64
+            )
+            ema_decay = 0.5 ** (batch / (config.ema_halflife_kimg * 1000.0))
+        self.ema_decay = ema_decay
         par = getattr(config, "parallel", None)
         self.mesh = mesh if mesh is not None else make_device_mesh(
             data_axis=par.data_axis if par else -1,
@@ -161,9 +171,15 @@ class Trainer:
         opt_state = jax.device_put(
             self.tx.init(params), replicated_sharding(self.mesh)
         )
-        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+        ema_params = params if self.ema_decay is not None else None
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
 
-        model, tx = self.model, self.tx
+        model, tx, ema_decay = self.model, self.tx, self.ema_decay
 
         def train_step(state: TrainState, key, batch):
             step_key = jax.random.fold_in(key, state.step)
@@ -172,8 +188,18 @@ class Trainer:
             )
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if ema_decay is not None:
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_params,
+                    new_params,
+                )
             new_state = TrainState(
-                step=state.step + 1, params=new_params, opt_state=new_opt_state
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=new_ema,
             )
             return new_state, metrics
 
@@ -267,15 +293,14 @@ class Trainer:
 
         path = os.path.abspath(self.files.checkpoint_path(tag))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
-                "step": np.asarray(self.state.step),
-                "params": jax.device_get(self.state.params),
-                "opt_state": jax.device_get(self.state.opt_state),
-            },
-            force=True,
-        )
+        payload = {
+            "step": np.asarray(self.state.step),
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+        }
+        if self.state.ema_params is not None:
+            payload["ema_params"] = jax.device_get(self.state.ema_params)
+        ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, tag_or_path: str):
@@ -292,12 +317,19 @@ class Trainer:
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
         }
+        if self.state.ema_params is not None:
+            target["ema_params"] = jax.device_get(self.state.ema_params)
         restored = ckptr.restore(os.path.abspath(path), target=target)
         self.state = TrainState(
             step=jnp.asarray(restored["step"]),
             params=jax.device_put(restored["params"], replicated_sharding(self.mesh)),
             opt_state=jax.device_put(
                 restored["opt_state"], replicated_sharding(self.mesh)
+            ),
+            ema_params=(
+                jax.device_put(restored["ema_params"], replicated_sharding(self.mesh))
+                if "ema_params" in restored
+                else None
             ),
         )
         return self.state

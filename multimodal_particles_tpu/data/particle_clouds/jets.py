@@ -148,7 +148,11 @@ class JetClassHighLevelFeatures:
             if use_quantiles
             else num_bins
         )
-        return np.histogram(x, density=density, bins=bins)[0]
+        h = np.histogram(x, density=density, bins=bins)[0]
+        # quantile bins collapse to zero width on discrete-valued features
+        # (e.g. multiplicity), making densities inf — the reference's KL then
+        # returns NaN (jets.py:314-327); zero those bins instead
+        return np.nan_to_num(h, posinf=0.0, neginf=0.0)
 
     def KLmetric1D(self, feature, reference, num_bins=100, use_quantiles=True):
         h1 = self.histogram(feature, True, num_bins, use_quantiles) + 1e-8

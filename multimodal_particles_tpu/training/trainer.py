@@ -171,7 +171,12 @@ class Trainer:
         opt_state = jax.device_put(
             self.tx.init(params), replicated_sharding(self.mesh)
         )
-        ema_params = params if self.ema_decay is not None else None
+        # fresh buffers: aliasing params would double-donate under jit
+        ema_params = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if self.ema_decay is not None
+            else None
+        )
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,

@@ -22,27 +22,68 @@ import numpy as np
 BASELINE_JETS_PER_SEC_PER_CHIP = 1_000_000 / 60 / 8  # ≈ 2083.3
 
 
-def build(batch_size: int, num_timesteps: int, compute_dtype: str):
-    from multimodal_particles_tpu.config_classes import (
-        MultimodalBridgeMatchingConfig,
-    )
+def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm"):
     from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
         JetsDataloaderModule,
     )
-    from multimodal_particles_tpu.models.generative.multimodal_bridge_matching import (
-        MultiModalBridgeMatching,
-    )
 
-    config = MultimodalBridgeMatchingConfig()
-    config.data.batch_size = batch_size
-    config.data.max_num_particles = 128
-    config.bridge.num_timesteps = num_timesteps
-    config.parallel.compute_dtype = compute_dtype
+    if family == "mbm":
+        from multimodal_particles_tpu.config_classes import (
+            MultimodalBridgeMatchingConfig,
+        )
+        from multimodal_particles_tpu.models.generative.multimodal_bridge_matching import (
+            MultiModalBridgeMatching,
+        )
 
-    model = MultiModalBridgeMatching(config)
-    batch = jax.tree_util.tree_map(
-        jnp.asarray, JetsDataloaderModule.random_databatch(config)
-    )
+        config = MultimodalBridgeMatchingConfig()
+        config.data.batch_size = batch_size
+        config.data.max_num_particles = 128
+        config.bridge.num_timesteps = num_timesteps
+        config.parallel.compute_dtype = compute_dtype
+        model = MultiModalBridgeMatching(config)
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, JetsDataloaderModule.random_databatch(config)
+        )
+    elif family == "absorbing":
+        from multimodal_particles_tpu.config_classes import AbsorbingConfig
+        from multimodal_particles_tpu.models.generative.absorbing.absorbing_flows import (
+            AbsorbingFlow,
+        )
+
+        config = AbsorbingConfig()
+        config.data.batch_size = batch_size
+        config.data.max_num_particles = 128
+        config.bridge.num_timesteps = num_timesteps
+        config.parallel.compute_dtype = compute_dtype
+        model = AbsorbingFlow(config)
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, JetsDataloaderModule.random_databatch(config)
+        )
+    elif family == "transdimensional":
+        from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+            TransdimensionalEpicConfig,
+        )
+        from multimodal_particles_tpu.models.generative.transdimensional import (
+            TransdimensionalJumpDiffusion,
+        )
+
+        config = TransdimensionalEpicConfig()
+        config.data.batch_size = batch_size
+        config.data.max_num_particles = 128
+        config.sampler_kwargs.dt = 1.0 / num_timesteps
+        model = TransdimensionalJumpDiffusion(config)
+        rng = np.random.default_rng(0)
+        n_particles = rng.integers(1, 129, batch_size)
+        batch = [
+            jnp.asarray(n_particles),
+            jnp.asarray(rng.standard_normal((batch_size, 128, 3)), jnp.float32),
+            jnp.asarray(
+                np.eye(8, dtype=np.float32)[rng.integers(0, 8, (batch_size, 128))]
+            ),
+        ]
+    else:
+        raise ValueError(family)
+
     params = model.init(jax.random.PRNGKey(0), batch)
     return model, config, params, batch
 
@@ -57,13 +98,21 @@ def main():
     ap.add_argument(
         "--train", action="store_true", help="measure train steps/sec instead"
     )
+    ap.add_argument(
+        "--model",
+        default="mbm",
+        choices=["mbm", "absorbing", "transdimensional"],
+        help="model family to benchmark",
+    )
     args = ap.parse_args()
 
     if args.smoke:
         args.batch_size, args.steps, args.iters = 64, 10, 2
 
     n_chips = jax.device_count()
-    model, config, params, batch = build(args.batch_size, args.steps, args.dtype)
+    model, config, params, batch = build(
+        args.batch_size, args.steps, args.dtype, args.model
+    )
 
     if args.train:
         import optax
@@ -111,7 +160,9 @@ def main():
     # full (B, N, 3) output would time the tunnel, not the chip)
     def run(params, batch, key):
         out = model.predict(params, batch, key)
-        return jnp.sum(out.continuous) + jnp.sum(out.discrete)
+        return jnp.sum(out.continuous) + jnp.sum(
+            jnp.asarray(out.discrete, jnp.float32)
+        )
 
     sampler = jax.jit(run)
     key = jax.random.PRNGKey(42)
@@ -127,9 +178,14 @@ def main():
     jets_per_sec = jets / dt
     jets_per_sec_per_chip = jets_per_sec / n_chips
 
+    label = {
+        "mbm": "hybrid",
+        "absorbing": "absorbing",
+        "transdimensional": "jump-diffusion",
+    }[args.model]
     result = {
-        "metric": "particle-cloud samples/sec/chip at {}-step hybrid sampler".format(
-            args.steps
+        "metric": "particle-cloud samples/sec/chip at {}-step {} sampler".format(
+            args.steps, label
         ),
         "value": round(jets_per_sec_per_chip, 2),
         "unit": "jets/sec/chip",

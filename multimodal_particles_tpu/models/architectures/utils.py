@@ -44,6 +44,8 @@ def get_timestep_embedding(timesteps, embedding_dim, max_timesteps=10000.0):
     emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
     if embedding_dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    if jnp.issubdtype(timesteps.dtype, jnp.floating):
+        emb = emb.astype(timesteps.dtype)
     return emb
 
 

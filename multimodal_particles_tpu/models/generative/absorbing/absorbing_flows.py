@@ -154,7 +154,24 @@ class AbsorbingFlow:
         return {"generator": gen_params, "loss_weights": jnp.zeros(self.num_heads)}
 
     def forward(self, params, state, batch) -> OutputHeads:
-        return self.generator.apply({"params": params["generator"]}, state, batch)
+        from multimodal_particles_tpu.utils.dtype import cast_floating, compute_dtype_of
+
+        dtype = compute_dtype_of(self.config)
+        gen_params = params["generator"]
+        if dtype != jnp.float32:
+            gen_params = cast_floating(gen_params, dtype)
+            state = state.replace(
+                time=state.time.astype(dtype),
+                continuous=state.continuous.astype(dtype),
+            )
+        heads = self.generator.apply({"params": gen_params}, state, batch)
+        if dtype != jnp.float32:
+            heads = OutputHeads(
+                heads.continuous.astype(jnp.float32),
+                heads.discrete.astype(jnp.float32),
+                heads.absorbing.astype(jnp.float32),
+            )
+        return heads
 
     # ---------------------------------------------------------------- bridges
 

@@ -280,6 +280,52 @@ class JetsGraphicalStructure:
         return get_nearest_atom(state, delxt_state)
 
 
+class Structure:
+    """Tensor-observedness metadata (API parity with the reference
+    Structure, structure.py:252-383 — in the rebuild the heavy flatten/mask
+    machinery lives on `StructuredState`; this class carries the static
+    exist/observed/latent bookkeeping the model constructors consume)."""
+
+    def __init__(self, exist, observed, dataset):
+        self.exist = np.array(exist, dtype=np.uint8)
+        self.observed = np.array(
+            [o for o, e in zip(observed, self.exist) if e], dtype=np.uint8
+        )
+        self.latent = 1 - self.observed
+        is_onehot = getattr(dataset, "is_onehot", [0] * len(self.exist))
+        self.is_onehot = [oh for oh, e in zip(is_onehot, self.exist) if e]
+        names = getattr(
+            dataset, "names_in_batch", [f"tensor_{i}" for i in range(len(self.exist))]
+        )
+        self.names = [n for n, e in zip(names, self.exist) if e]
+        if hasattr(dataset, "graphical_structure"):
+            self.graphical_structure = dataset.graphical_structure
+
+    @property
+    def latent_names(self):
+        return [n for n, l in zip(self.names, self.latent) if l]
+
+
+class StructuredArgument:
+    """Per-tensor scalars broadcast to the flat latent layout (reference:
+    structure.py:385-407)."""
+
+    def __init__(self, arg, state_template: StructuredState, observed=None):
+        if isinstance(arg, (int, float)):
+            arg = (arg, arg)
+        if len(arg) == 1:
+            arg = tuple(arg) * 2
+        self.tensorwise_arg = tuple(arg)
+        self.template = state_template
+
+    @property
+    def lats(self):
+        t = self.template
+        cont = jnp.full((1, t.N * t.Dc), self.tensorwise_arg[0], jnp.float32)
+        disc = jnp.full((1, t.N * t.V), self.tensorwise_arg[1], jnp.float32)
+        return jnp.concatenate([cont, disc], axis=1)
+
+
 def state_from_list_batch(batch, vocab_size=None):
     """Build a StructuredState from the 'list' return-mode databatch
     [n_particles, target_continuous, target_discrete_onehot, (contexts...)]

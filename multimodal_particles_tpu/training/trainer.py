@@ -271,20 +271,28 @@ class Trainer:
                     self.save_checkpoint("best")
         return history
 
-    def predict(self, datamodule_or_batches, key=None):
+    def predict(self, datamodule_or_batches, key=None, use_ema: bool = True):
         """Run the model's sampler over all (test/val) batches and return the
-        list of final states (reference Trainer.predict parity)."""
+        list of final states (reference Trainer.predict parity).
+
+        Samples with the EMA parameters when EMA is enabled (EDM practice,
+        matching the reference transdimensional ema_halflife_kimg intent)."""
         key = key if key is not None else jax.random.fold_in(self.root_key, 2)
         batches = datamodule_or_batches
         if hasattr(batches, "test") or hasattr(batches, "valid"):
             loader = getattr(batches, "test", None) or batches.valid or batches.train
             batches = list(loader)
         predict_fn = jax.jit(self.model.predict)
+        params = (
+            self.state.ema_params
+            if use_ema and self.state.ema_params is not None
+            else self.state.params
+        )
         outs = []
         for i, batch in enumerate(batches):
             batch, orig = pad_to_multiple(batch, self.data_parallel)
             batch = shard_batch(batch, self.mesh)
-            out = predict_fn(self.state.params, batch, jax.random.fold_in(key, i))
+            out = predict_fn(params, batch, jax.random.fold_in(key, i))
             out = jax.tree_util.tree_map(
                 lambda x: np.asarray(x)[:orig] if x is not None else None, out
             )

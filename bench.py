@@ -130,14 +130,17 @@ def main():
 
         key = jax.random.PRNGKey(0)
         params, opt_state, loss = train_step(params, opt_state, key)
-        float(loss)  # sync
+        float(loss)  # sync after compile
         iters = max(args.iters * 5, 10)
+        keys = np.asarray(jax.random.split(key, iters))
         t0 = time.perf_counter()
         for i in range(iters):
             params, opt_state, loss = train_step(
-                params, opt_state, jax.random.fold_in(key, i)
+                params, opt_state, jnp.asarray(keys[i])
             )
-            float(loss)
+        # the params chain forces sequential execution of every step; one
+        # 4-byte fetch at the end synchronizes the whole run
+        float(loss)
         dt = time.perf_counter() - t0
         steps_per_sec = iters / dt
         print(

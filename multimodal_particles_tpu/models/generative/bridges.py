@@ -106,9 +106,30 @@ def telegraph_transition_probability(t, k0, k1, gamma, vocab_size):
 
 
 def telegraph_sample(key, t, k0, k1, gamma, vocab_size):
-    """Draw k_t ~ P(·| k0, k1) from the closed-form posterior bridge."""
-    probs = telegraph_transition_probability(t, k0, k1, gamma, vocab_size)
-    k_t = jax.random.categorical(key, jnp.log(jnp.maximum(probs, 1e-37)), axis=-1)
+    """Draw k_t ~ P(·| k0, k1) from the closed-form posterior bridge.
+
+    Fused form: the unnormalized posterior factorizes over the two Kronecker
+    deltas, P(k) ∝ (1/S + w_a(δ_{k,k1} − 1/S)) · (1/S + w_b(δ_{k0,k} − 1/S))
+    with w_a = e^{−Sγ(1−t)}, w_b = e^{−Sγt} (normalization cancels in
+    sampling), so one select + inverse-CDF draw replaces three (B,N,S)
+    conditional-probability tensors + a Gumbel categorical — the training
+    step's second-largest cost after the network."""
+    S = vocab_size
+    t_ = jnp.asarray(t).reshape(-1, 1, 1)
+    w_a = jnp.exp(-S * gamma * (1.0 - t_))
+    w_b = jnp.exp(-S * gamma * t_)
+
+    iota = jnp.arange(S)[None, None, :]
+    d1 = iota == k1
+    d0 = iota == k0
+    fac_a = jnp.where(d1, 1.0 / S + w_a * (1.0 - 1.0 / S), (1.0 - w_a) / S)
+    fac_b = jnp.where(d0, 1.0 / S + w_b * (1.0 - 1.0 / S), (1.0 - w_b) / S)
+    p = fac_a * fac_b  # (B, N, S), unnormalized
+
+    cdf = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, k0.shape[:2], dtype=cdf.dtype) * cdf[..., -1]
+    k_t = jnp.sum((u[..., None] >= cdf).astype(jnp.int32), axis=-1)
+    k_t = jnp.clip(k_t, 0, S - 1)
     return k_t[..., None].astype(k0.dtype)
 
 

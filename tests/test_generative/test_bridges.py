@@ -211,3 +211,22 @@ def test_fused_solver_step_matches_separate_ops():
         stay_sep += int((np.asarray(ks) == np.asarray(k0)).sum())
     total = 10 * B * N
     assert abs(stay_fused - stay_sep) / total < 0.02
+
+
+def test_telegraph_sample_matches_posterior_distribution():
+    """The fused inverse-CDF sampler must follow the closed-form posterior
+    transition probabilities."""
+    B, N = 256, 32
+    key = jax.random.PRNGKey(0)
+    k0 = jnp.full((B, N, 1), 2)
+    k1 = jnp.full((B, N, 1), 5)
+    t = jnp.full((B, 1, 1), 0.5)
+    probs = np.asarray(
+        br.telegraph_transition_probability(t, k0, k1, GAMMA, VOCAB)
+    )[0, 0]
+    counts = np.zeros(VOCAB)
+    for i in range(5):
+        kt = br.telegraph_sample(jax.random.fold_in(key, i), t, k0, k1, GAMMA, VOCAB)
+        counts += np.bincount(np.asarray(kt).ravel(), minlength=VOCAB)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, probs, atol=0.01)

@@ -122,6 +122,46 @@ class MultiModalBridgeMatching:
             return supported and jax.default_backend() != "cpu"
         return bool(flag) and supported
 
+    def _train_fused_fn(self):
+        """Cached custom-VJP fused forward (ops/epic_pallas_vjp.py) for the
+        training path."""
+        if getattr(self, "_train_fused_cache", None) is None:
+            from multimodal_particles_tpu.ops.epic_pallas_vjp import (
+                make_epic_train_forward,
+            )
+
+            cfg_d, cfg_e = self.config.data, self.config.encoder
+            self._train_fused_cache = make_epic_train_forward(
+                num_blocks=cfg_e.num_blocks,
+                use_skip=cfg_e.skip_connection,
+                add_discrete_head=cfg_e.add_discrete_head,
+                dim_c=cfg_d.dim_features_continuous,
+                vocab=cfg_d.vocab_size_features,
+                hidden=cfg_e.dim_hidden_local,
+                dim_emb_time=cfg_e.dim_emb_time,
+                interpret=jax.default_backend() == "cpu",
+            )
+        return self._train_fused_cache
+
+    def forward_train(self, params, state: HybridState, batch) -> MultiHeadOutput:
+        """Training-path forward: the fused Pallas kernel with its
+        hand-written backward kernel when enabled, else the flax stack."""
+        if not self._pallas_enabled():
+            return self.forward(params, state, batch)
+        from multimodal_particles_tpu.ops.epic_pallas import (
+            pack_mbm_encoder_params,
+        )
+
+        cfg_d, cfg_e = self.config.data, self.config.encoder
+        packed = pack_mbm_encoder_params(
+            params["encoder"], cfg_e.num_blocks, cfg_d.dim_features_continuous
+        )
+        out = self._train_fused_fn()(
+            packed, state.time, state.continuous, state.discrete, state.absorbing
+        )
+        dc = cfg_d.dim_features_continuous
+        return MultiHeadOutput(out[..., :dc], out[..., dc:], state.absorbing)
+
     def forward_pallas(self, params, state: HybridState, batch) -> MultiHeadOutput:
         """Fused-kernel forward (ops/epic_pallas.py): one Pallas call runs
         the entire encoder; used on the sampling hot path."""
@@ -219,7 +259,7 @@ class MultiModalBridgeMatching:
     def loss_fn(self, params, key, batch):
         """Full training loss: bridge sampling + forward + multi-head combine."""
         state = self.sample_bridges(key, batch)
-        heads = self.forward(params, state, batch)
+        heads = self.forward_train(params, state, batch)
         loss_0 = self.loss_continuous(heads, state, batch)
         loss_1 = self.loss_discrete(heads, state, batch)
         loss, per_head = multihead_loss([loss_0, loss_1], params["loss_weights"])

@@ -124,93 +124,121 @@ def _mm(a, b):
     )
 
 
-def _epic_kernel(
-    x_ref, k_ref, mask_ref, temb_ref,
-    w_x_ref, b_x_ref, table_ref,
-    w_l0_ref, b_l0_ref, w_g0_ref, b_g0_ref, w_g1_ref, b_g1_ref, w_g2_ref, b_g2_ref,
-    w_fg1_ref, b_fg1_ref, w_fg2_ref, b_fg2_ref, w_fl1_ref, b_fl1_ref, w_fl2_ref, b_fl2_ref,
-    w_out_c_ref, b_out_c_ref, w_out_d_ref, b_out_d_ref,
-    w_h0_ref, b_h0_ref, w_h1_ref, b_h1_ref,
-    out_c_ref, out_d_ref,
-    *, TB, N, vocab, num_blocks, use_skip, add_discrete_head,
-):
-    rows = TB * N
+
+WEIGHT_NAMES = (
+    "w_x", "b_x", "table",
+    "w_l0", "b_l0", "w_g0", "b_g0", "w_g1", "b_g1", "w_g2", "b_g2",
+    "w_fg1", "b_fg1", "w_fg2", "b_fg2", "w_fl1", "b_fl1", "w_fl2", "b_fl2",
+    "w_out_c", "b_out_c", "w_out_d", "b_out_d", "w_h0", "b_h0", "w_h1", "b_h1",
+)
+
+
+def _weights_dict(ws):
+    return dict(zip(WEIGHT_NAMES, ws))
+
+
+def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_skip):
+    """The EPiC forward in (features, lanes) layout, shared by the sampling
+    kernel, the training (custom-VJP) kernels and their jnp parity oracle.
+    Returns (cont, disc, activations-dict) — the activation set is what the
+    hand-written backward (ops/epic_pallas_vjp.py) consumes."""
     f32 = jnp.float32
+    rows = TB * N
 
-    x = x_ref[:]  # (dim_c, rows)
-    k = k_ref[:]  # (1, rows) int32
-    mask = mask_ref[:]  # (1, rows)
-    t_local = temb_ref[:]  # (E, rows) — time embedding per particle lane
-
-    def col(b_ref):
-        return b_ref[:]
-
-    # jet-membership matrices: P[j, i] = 1 iff lane i belongs to jet j
+    # jet-membership matrices: P[j, i] = 1 iff lane i belongs to jet j;
+    # pooling and broadcast are MXU matmuls against them (no reshapes)
     jet_of_lane = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 1) // N
     jet_id = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 0)
     P = (jet_of_lane == jet_id).astype(f32)  # (TB, rows)
-    PT = P.T  # (rows, TB)
+    PT = P.T
 
     denom = jnp.maximum(_mm(mask, PT), 1.0)  # (1, TB)
-
     # per-jet context = time embedding (identical across a jet's lanes)
-    ctx = _mm(t_local, PT) / jnp.float32(N)  # (E, TB)
+    ctx = _mm(t_local, PT) / f32(N)  # (E, TB)
 
-    def pool(h_local, *globals_):
-        """Masked per-jet mean+sum pooling via MXU (reference meansum_pool,
-        epic.py:136-143)."""
-        hs = _mm(h_local * mask, PT)  # (hidden, TB)
-        hm = hs / denom
-        return jnp.concatenate([hm, hs, *globals_], axis=0)
-
-    def bcast(g_global):
-        """Per-jet globals → per-particle lanes."""
-        return _mm(g_global, P)  # (d, rows)
+    acts = {"P": P, "PT": PT, "denom": denom, "ctx": ctx}
 
     # ---- input embeddings (reference: utils.py:112-172)
-    x_emb = _mm(w_x_ref[:], x) + col(b_x_ref)  # (E, rows)
+    x_emb = _mm(W["w_x"], x) + W["b_x"]
     k_onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k
+        jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k_col
     ).astype(f32)
-    k_emb = _mm(table_ref[:], k_onehot)  # (E, rows)
+    k_emb = _mm(W["table"], k_onehot)
     feats = jnp.concatenate([t_local, x_emb, k_emb], axis=0) * mask
+    acts["k_onehot"] = k_onehot
+    acts["feats"] = feats
 
     # ---- projection (reference: epic.py:164-191)
-    h = _leaky(_mm(w_l0_ref[:], feats) + col(b_l0_ref))
-    p = pool(h, ctx)
-    g = _leaky(_mm(w_g0_ref[:], p) + col(b_g0_ref))
-    g = _leaky(_mm(w_g1_ref[:], g) + col(b_g1_ref))
-    g = _leaky(_mm(w_g2_ref[:], g) + col(b_g2_ref))
-    h = h * mask
+    z_l0 = _mm(W["w_l0"], feats) + W["b_l0"]
+    h_act = _leaky(z_l0)
+    acts["z_l0"] = z_l0
 
+    s0 = _mm(h_act * mask, PT)
+    p0 = jnp.concatenate([s0 / denom, s0, ctx], axis=0)
+    acts["p0"] = p0
+    z_g0 = _mm(W["w_g0"], p0) + W["b_g0"]
+    a_g0 = _leaky(z_g0)
+    z_g1 = _mm(W["w_g1"], a_g0) + W["b_g1"]
+    a_g1 = _leaky(z_g1)
+    z_g2 = _mm(W["w_g2"], a_g1) + W["b_g2"]
+    g = _leaky(z_g2)
+    acts.update(z_g0=z_g0, a_g0=a_g0, z_g1=z_g1, a_g1=a_g1, z_g2=z_g2)
+
+    h = h_act * mask
     skip_local = h if use_skip else 0.0
     skip_global = g if use_skip else 0.0
 
     # ---- EPiC layers (reference: epic.py:193-241)
+    layers = []
     for i in range(num_blocks):
-        p = pool(h, g, ctx)
-        g1 = _leaky(_mm(w_fg1_ref[i], p) + col_i(b_fg1_ref, i))
-        g = _leaky(_mm(w_fg2_ref[i], g1) + col_i(b_fg2_ref, i) + g)
+        la = {"h_in": h, "g_in": g}
+        s = _mm(h * mask, PT)
+        p = jnp.concatenate([s / denom, s, g, ctx], axis=0)
+        la["p"] = p
+        z_fg1 = _mm(W["w_fg1"][i], p) + W["b_fg1"][i]
+        g1 = _leaky(z_fg1)
+        z_fg2 = _mm(W["w_fg2"][i], g1) + W["b_fg2"][i] + g
+        g_new = _leaky(z_fg2)
+        la.update(z_fg1=z_fg1, g1=g1, z_fg2=z_fg2, g_new=g_new)
 
-        hcat = jnp.concatenate([h, bcast(g), bcast(ctx)], axis=0)
-        l1 = _leaky(_mm(w_fl1_ref[i], hcat) + col_i(b_fl1_ref, i))
-        h = _leaky(_mm(w_fl2_ref[i], l1) + col_i(b_fl2_ref, i) + h)
-        h = h * mask
-        h = h + skip_local
-        g = g + skip_global
+        hcat = jnp.concatenate([h, _mm(g_new, P), _mm(ctx, P)], axis=0)
+        la["hcat"] = hcat
+        z_fl1 = _mm(W["w_fl1"][i], hcat) + W["b_fl1"][i]
+        l1 = _leaky(z_fl1)
+        z_fl2 = _mm(W["w_fl2"][i], l1) + W["b_fl2"][i] + h
+        h_new = _leaky(z_fl2)
+        la.update(z_fl1=z_fl1, l1=l1, z_fl2=z_fl2)
+
+        h = h_new * mask + skip_local
+        g = g_new + skip_global
+        layers.append(la)
+
+    acts["layers"] = layers
+    acts["h_final"] = h
 
     # ---- output + heads (reference: epic.py:145-162, mbm :102-113)
-    cont = (_mm(w_out_c_ref[:], h) + col(b_out_c_ref)) * mask
-    disc = (_mm(w_out_d_ref[:], h) + col(b_out_d_ref)) * mask
-    if add_discrete_head:
-        disc = _mm(w_h1_ref[:], _selu(_mm(w_h0_ref[:], disc) + col(b_h0_ref))) + col(b_h1_ref)
+    cont = (_mm(W["w_out_c"], h) + W["b_out_c"]) * mask
+    disc_pre = (_mm(W["w_out_d"], h) + W["b_out_d"]) * mask
+    z_h0 = _mm(W["w_h0"], disc_pre) + W["b_h0"]
+    a_h0 = _selu(z_h0)
+    disc = _mm(W["w_h1"], a_h0) + W["b_h1"]
+    acts.update(disc_pre=disc_pre, z_h0=z_h0, a_h0=a_h0)
+    return cont, disc, acts
+
+
+def _epic_kernel(
+    x_ref, k_ref, mask_ref, temb_ref, *rest,
+    TB, N, vocab, num_blocks, use_skip, add_discrete_head,
+):
+    """Sampling-path kernel: shared forward math + output writes."""
+    w_refs, (out_c_ref, out_d_ref) = rest[:-2], rest[-2:]
+    W = _weights_dict([r[:] for r in w_refs])
+    cont, disc, acts = _forward_acts(
+        x_ref[:], k_ref[:], mask_ref[:], temb_ref[:], W,
+        TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
+    )
     out_c_ref[:] = cont
-    out_d_ref[:] = disc
-
-
-def col_i(b_ref, i):
-    """Layer-i bias column from a stacked (L, d, 1) ref."""
-    return b_ref[i]
+    out_d_ref[:] = disc if add_discrete_head else acts["disc_pre"]
 
 
 def _pick_tile(B):

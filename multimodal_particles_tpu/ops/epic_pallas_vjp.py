@@ -34,19 +34,18 @@ from multimodal_particles_tpu.models.architectures.utils import (
     sinusoidal_positional_encoding,
 )
 from multimodal_particles_tpu.ops.epic_pallas import (
+    WEIGHT_NAMES,
+    _forward_acts,
     _leaky,
+    _mm,
     _selu,
+    _weights_dict,
     pack_mbm_encoder_params,
 )
 
 
 def _dg(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
-
-
-def _mm(a, b):
-    """(m, k) @ (k, n)."""
-    return _dg(a, b, ((1,), (0,)))
 
 
 def _mm_at(w, dz):
@@ -71,104 +70,6 @@ def _dselu(z):
     alpha = 1.6732632423543772
     scale = 1.0507009873554805
     return scale * jnp.where(z >= 0, 1.0, alpha * jnp.exp(z))
-
-
-def _forward_acts(
-    x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_skip
-):
-    """Shared forward math in (features, lanes) layout; returns the full
-    activation set the backward needs. `W` is the dict of weight arrays."""
-    f32 = jnp.float32
-    rows = TB * N
-
-    jet_of_lane = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 1) // N
-    jet_id = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 0)
-    P = (jet_of_lane == jet_id).astype(f32)  # (TB, rows)
-    PT = P.T
-
-    denom = jnp.maximum(_mm(mask, PT), 1.0)  # (1, TB)
-    ctx = _mm(t_local, PT) / f32(N)  # (E, TB)
-
-    acts = {"P": P, "PT": PT, "denom": denom, "ctx": ctx}
-
-    x_emb = _mm(W["w_x"], x) + W["b_x"]
-    k_onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k_col
-    ).astype(f32)
-    k_emb = _mm(W["table"], k_onehot)
-    feats = jnp.concatenate([t_local, x_emb, k_emb], axis=0) * mask
-    acts["k_onehot"] = k_onehot
-    acts["feats"] = feats
-
-    z_l0 = _mm(W["w_l0"], feats) + W["b_l0"]
-    h_act = _leaky(z_l0)
-    acts["z_l0"] = z_l0
-
-    s0 = _mm(h_act * mask, PT)
-    p0 = jnp.concatenate([s0 / denom, s0, ctx], axis=0)
-    acts["p0"] = p0
-    z_g0 = _mm(W["w_g0"], p0) + W["b_g0"]
-    a_g0 = _leaky(z_g0)
-    z_g1 = _mm(W["w_g1"], a_g0) + W["b_g1"]
-    a_g1 = _leaky(z_g1)
-    z_g2 = _mm(W["w_g2"], a_g1) + W["b_g2"]
-    g = _leaky(z_g2)
-    acts.update(z_g0=z_g0, a_g0=a_g0, z_g1=z_g1, a_g1=a_g1, z_g2=z_g2)
-
-    h = h_act * mask
-    skip_local = h if use_skip else 0.0
-    skip_global = g if use_skip else 0.0
-    acts["skip_local"] = skip_local
-    acts["skip_global"] = skip_global
-
-    layers = []
-    for i in range(num_blocks):
-        la = {"h_in": h, "g_in": g}
-        s = _mm(h * mask, PT)
-        p = jnp.concatenate([s / denom, s, g, ctx], axis=0)
-        la["p"] = p
-        z_fg1 = _mm(W["w_fg1"][i], p) + W["b_fg1"][i]
-        g1 = _leaky(z_fg1)
-        z_fg2 = _mm(W["w_fg2"][i], g1) + W["b_fg2"][i] + g
-        g_new = _leaky(z_fg2)
-        la.update(z_fg1=z_fg1, g1=g1, z_fg2=z_fg2, g_new=g_new)
-
-        g_bcast = _mm(g_new, P)
-        ctx_bcast = _mm(ctx, P)
-        hcat = jnp.concatenate([h, g_bcast, ctx_bcast], axis=0)
-        la["hcat"] = hcat
-        z_fl1 = _mm(W["w_fl1"][i], hcat) + W["b_fl1"][i]
-        l1 = _leaky(z_fl1)
-        z_fl2 = _mm(W["w_fl2"][i], l1) + W["b_fl2"][i] + h
-        h_new = _leaky(z_fl2)
-        la.update(z_fl1=z_fl1, l1=l1, z_fl2=z_fl2)
-
-        h = h_new * mask + skip_local
-        g = g_new + skip_global
-        layers.append(la)
-
-    acts["layers"] = layers
-    acts["h_final"] = h
-
-    cont = (_mm(W["w_out_c"], h) + W["b_out_c"]) * mask
-    disc_pre = (_mm(W["w_out_d"], h) + W["b_out_d"]) * mask
-    z_h0 = _mm(W["w_h0"], disc_pre) + W["b_h0"]
-    a_h0 = _selu(z_h0)
-    disc = _mm(W["w_h1"], a_h0) + W["b_h1"]
-    acts.update(disc_pre=disc_pre, z_h0=z_h0, a_h0=a_h0)
-    return cont, disc, acts
-
-
-WEIGHT_NAMES = (
-    "w_x", "b_x", "table",
-    "w_l0", "b_l0", "w_g0", "b_g0", "w_g1", "b_g1", "w_g2", "b_g2",
-    "w_fg1", "b_fg1", "w_fg2", "b_fg2", "w_fl1", "b_fl1", "w_fl2", "b_fl2",
-    "w_out_c", "b_out_c", "w_out_d", "b_out_d", "w_h0", "b_h0", "w_h1", "b_h1",
-)
-
-
-def _weights_dict(ws):
-    return dict(zip(WEIGHT_NAMES, ws))
 
 
 def _fwd_kernel(x_ref, k_ref, mask_ref, temb_ref, *rest, TB, N, vocab,

@@ -11,6 +11,7 @@ matching torch.nn.GroupNorm on (B, C, N).
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -48,11 +49,27 @@ class ResnetBlock(nn.Module):
 class AttnBlock(nn.Module):
     """Multi-head self-attention over the particle axis with residual
     (reference: gsdm.py:69-168). Optional additive mask (the reference
-    attends over padded slots too; pass `mask` to restrict)."""
+    attends over padded slots too; pass `mask` to restrict).
+
+    A fused Pallas attention core exists (ops/attention_pallas.py) but is
+    OFF by default: measured on v5e at these shapes (N ≤ 128, C = 128,
+    B = 2048) XLA's batched einsum attention is ~9× faster than both the
+    per-jet and batched-dot_general kernel variants — the score matrices
+    are small enough that XLA's native batched GEMMs win ("don't
+    hand-schedule what the compiler already does"). The kernel remains
+    parity-tested infrastructure for larger-N regimes."""
 
     in_channels: int
     n_heads: int = 1
     attn_dim_reduce: int = 1
+    use_pallas: object = False
+
+    def _pallas_on(self) -> bool:
+        if not self.use_pallas or self.attn_dim_reduce != 1:
+            return False
+        if self.use_pallas == "auto":
+            return jax.default_backend() != "cpu"
+        return True
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -63,16 +80,26 @@ class AttnBlock(nn.Module):
         head_dim = c // heads
 
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
-        q = nn.Dense(c, name="q")(h).reshape(B, N, heads, head_dim)
-        k = nn.Dense(c, name="k")(h).reshape(B, N, heads, head_dim)
-        v = nn.Dense(c, name="v")(h).reshape(B, N, heads, head_dim)
+        q = nn.Dense(c, name="q")(h)
+        k = nn.Dense(c, name="k")(h)
+        v = nn.Dense(c, name="v")(h)
 
-        # (B, heads, Nq, Nk)
-        w = jnp.einsum("bkhd,bqhd->bhqk", k, q) * (head_dim**-0.5)
-        if mask is not None:
-            bias = jnp.where(mask[:, None, None, :, 0] > 0, 0.0, -1e9)
-            w = w + bias
-        w = nn.softmax(w, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, N, c)
+        if self._pallas_on():
+            from multimodal_particles_tpu.ops.attention_pallas import (
+                attention_core_pallas,
+            )
+
+            out = attention_core_pallas(q, k, v, mask, n_heads=heads)
+        else:
+            q = q.reshape(B, N, heads, head_dim)
+            k = k.reshape(B, N, heads, head_dim)
+            v = v.reshape(B, N, heads, head_dim)
+            # (B, heads, Nq, Nk)
+            w = jnp.einsum("bkhd,bqhd->bhqk", k, q) * (head_dim**-0.5)
+            if mask is not None:
+                bias = jnp.where(mask[:, None, None, :, 0] > 0, 0.0, -1e9)
+                w = w + bias
+            w = nn.softmax(w, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, N, c)
         out = nn.Dense(self.in_channels, name="proj_out")(out)
         return x + out

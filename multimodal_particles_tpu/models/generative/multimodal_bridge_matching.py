@@ -285,12 +285,12 @@ class MultiModalBridgeMatching:
 
         def step(carry, t):
             state, key = carry
-            key, key_disc = jax.random.split(key)
+            key, key_cont, key_disc = jax.random.split(key, 3)
             state = state.replace(
                 time=jnp.full((B, 1, 1), t, dtype=state.continuous.dtype)
             )
             heads = forward(params, state, batch)
-            state = self.bridge_continuous.solver_step(None, state, heads, delta_t)
+            state = self.bridge_continuous.solver_step(key_cont, state, heads, delta_t)
             state = self.bridge_discrete.solver_step(key_disc, state, heads, delta_t)
             return (state, key), None
 

@@ -85,3 +85,24 @@ def test_sampler_is_jittable(setup):
     jitted = jax.jit(model.predict)
     out = jitted(params, batch, jax.random.PRNGKey(4))
     assert np.isfinite(np.asarray(out.continuous)).all()
+
+
+def test_schrodinger_bridge_dispatch():
+    """config.bridge.continuous='SchrodingerBridge' builds and samples
+    (the reference defines it but never wires it — SURVEY §2.3)."""
+    cfg = MultimodalBridgeMatchingConfig.from_yaml(CONFIG_PATH)
+    cfg.data.batch_size = 8
+    cfg.data.max_num_particles = 16
+    cfg.bridge.num_timesteps = 5
+    cfg.bridge.continuous = "SchrodingerBridge"
+    cfg.bridge.sigma = 0.1
+    batch = _jnp_batch(JetsDataloaderModule.random_databatch(cfg))
+    model = MultiModalBridgeMatching(cfg)
+    from multimodal_particles_tpu.models.generative.bridges import SchrodingerBridge
+
+    assert isinstance(model.bridge_continuous, SchrodingerBridge)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(loss))
+    final = model.predict(params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(final.continuous)).all()

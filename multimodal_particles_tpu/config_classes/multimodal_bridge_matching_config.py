@@ -120,6 +120,11 @@ class ParallelConfig:
     # True / False / 'auto' (on for TPU backends when the encoder config
     # matches the supported pattern)
     use_pallas: object = "auto"
+    # 'jit' (XLA derives collectives from shardings) or 'shard_map'
+    # (explicit psum/pmean formulation, parallel/collectives.py)
+    spmd_mode: str = "jit"
+    # skip optimizer updates whose gradients contain NaN/inf
+    skip_nonfinite_updates: bool = False
 
 
 @dataclass

@@ -159,6 +159,14 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.tx = None
         self._metrics_fh = None
+        # 'jit' lets XLA insert collectives from shardings; 'shard_map' uses
+        # the explicit psum/pmean formulation (parallel/collectives.py)
+        self.spmd_mode = getattr(
+            getattr(config, "parallel", None), "spmd_mode", "jit"
+        ) or "jit"
+        self.skip_nonfinite_updates = bool(
+            getattr(getattr(config, "parallel", None), "skip_nonfinite_updates", False)
+        )
 
     # ------------------------------------------------------------- build
 
@@ -186,6 +194,8 @@ class Trainer:
 
         model, tx, ema_decay = self.model, self.tx, self.ema_decay
 
+        skip_nonfinite = self.skip_nonfinite_updates
+
         def train_step(state: TrainState, key, batch):
             step_key = jax.random.fold_in(key, state.step)
             (loss, metrics), grads = jax.value_and_grad(model.loss_fn, has_aux=True)(
@@ -193,6 +203,30 @@ class Trainer:
             )
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            if skip_nonfinite:
+                # numerical fault tolerance (SURVEY §5.3): a step whose grads
+                # contain NaN/inf leaves params and optimizer state untouched
+                finite = jnp.all(
+                    jnp.asarray(
+                        [
+                            jnp.all(jnp.isfinite(g))
+                            for g in jax.tree_util.tree_leaves(grads)
+                        ]
+                    )
+                )
+                new_params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    new_params,
+                    state.params,
+                )
+                new_opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(finite, new, old)
+                    if hasattr(new, "dtype")
+                    else new,
+                    new_opt_state,
+                    state.opt_state,
+                )
+                metrics = {**metrics, "nonfinite_grads": 1.0 - finite}
             new_ema = state.ema_params
             if ema_decay is not None:
                 new_ema = jax.tree_util.tree_map(
@@ -213,8 +247,19 @@ class Trainer:
             _, metrics = model.loss_fn(state.params, step_key, batch)
             return metrics
 
-        donate = (0,) if getattr(self.config.parallel, "donate_buffers", True) else ()
-        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        if self.spmd_mode == "shard_map":
+            from multimodal_particles_tpu.parallel.collectives import (
+                make_shard_map_train_step,
+            )
+
+            self._train_step = make_shard_map_train_step(
+                model, tx, self.mesh, ema_decay=ema_decay
+            )
+        else:
+            donate = (
+                (0,) if getattr(self.config.parallel, "donate_buffers", True) else ()
+            )
+            self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
         return self.state
 

@@ -275,8 +275,23 @@ class MultiModalBridgeMatching:
     def simulate_dynamics(self, params, state: HybridState, batch, key) -> HybridState:
         """Generate target data from the source state: `num_timesteps` hybrid
         Euler + tau-leaping steps as one `lax.scan`
-        (reference: multimodal_bridge_matching.py:199-216)."""
+        (reference: multimodal_bridge_matching.py:199-216).
+
+        With Pallas enabled and the shipped bridge pair (linear Euler +
+        telegraph), the ENTIRE step — EPiC forward, Euler update, telegraph
+        single-jump update — runs as one kernel over lane-layout state
+        (ops/sampler_pallas.py)."""
         cfg_b = self.config.bridge
+        if (
+            self._pallas_enabled()
+            and cfg_b.continuous == "LinearUniformBridge"
+            and cfg_b.discrete == "TelegraphBridge"
+        ):
+            from multimodal_particles_tpu.ops.sampler_pallas import (
+                fused_simulate_dynamics,
+            )
+
+            return fused_simulate_dynamics(self, params, state, batch, key)
         time_steps = jnp.linspace(0.0, 1.0 - cfg_b.time_eps, cfg_b.num_timesteps)
         delta_t = (time_steps[-1] - time_steps[0]) / (cfg_b.num_timesteps - 1)
         B = state.continuous.shape[0]

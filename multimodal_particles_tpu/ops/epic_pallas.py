@@ -137,6 +137,19 @@ def _weights_dict(ws):
     return dict(zip(WEIGHT_NAMES, ws))
 
 
+def _pool_sum(x, TB, N):
+    """Per-jet lane reduction: (d, TB·N) → (d, TB) via the Mosaic-supported
+    (d, b·128) → (d, b, 128) lane split."""
+    return jnp.sum(x.reshape(x.shape[0], TB, N), axis=2)
+
+
+def _bcast_jets(g, TB, N):
+    """Per-jet values → per-particle lanes: (d, TB) → (d, TB·N)."""
+    return jnp.broadcast_to(g[:, :, None], (g.shape[0], TB, N)).reshape(
+        g.shape[0], TB * N
+    )
+
+
 def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_skip):
     """The EPiC forward in (features, lanes) layout, shared by the sampling
     kernel, the training (custom-VJP) kernels and their jnp parity oracle.
@@ -145,18 +158,11 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
     f32 = jnp.float32
     rows = TB * N
 
-    # jet-membership matrices: P[j, i] = 1 iff lane i belongs to jet j;
-    # pooling and broadcast are MXU matmuls against them (no reshapes)
-    jet_of_lane = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 1) // N
-    jet_id = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 0)
-    P = (jet_of_lane == jet_id).astype(f32)  # (TB, rows)
-    PT = P.T
-
-    denom = jnp.maximum(_mm(mask, PT), 1.0)  # (1, TB)
+    denom = jnp.maximum(_pool_sum(mask, TB, N), 1.0)  # (1, TB)
     # per-jet context = time embedding (identical across a jet's lanes)
-    ctx = _mm(t_local, PT) / f32(N)  # (E, TB)
+    ctx = _pool_sum(t_local, TB, N) / f32(N)  # (E, TB)
 
-    acts = {"P": P, "PT": PT, "denom": denom, "ctx": ctx}
+    acts = {"denom": denom, "ctx": ctx}
 
     # ---- input embeddings (reference: utils.py:112-172)
     x_emb = _mm(W["w_x"], x) + W["b_x"]
@@ -173,7 +179,7 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
     h_act = _leaky(z_l0)
     acts["z_l0"] = z_l0
 
-    s0 = _mm(h_act * mask, PT)
+    s0 = _pool_sum(h_act * mask, TB, N)
     p0 = jnp.concatenate([s0 / denom, s0, ctx], axis=0)
     acts["p0"] = p0
     z_g0 = _mm(W["w_g0"], p0) + W["b_g0"]
@@ -192,7 +198,7 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
     layers = []
     for i in range(num_blocks):
         la = {"h_in": h, "g_in": g}
-        s = _mm(h * mask, PT)
+        s = _pool_sum(h * mask, TB, N)
         p = jnp.concatenate([s / denom, s, g, ctx], axis=0)
         la["p"] = p
         z_fg1 = _mm(W["w_fg1"][i], p) + W["b_fg1"][i]
@@ -201,7 +207,9 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
         g_new = _leaky(z_fg2)
         la.update(z_fg1=z_fg1, g1=g1, z_fg2=z_fg2, g_new=g_new)
 
-        hcat = jnp.concatenate([h, _mm(g_new, P), _mm(ctx, P)], axis=0)
+        hcat = jnp.concatenate(
+            [h, _bcast_jets(g_new, TB, N), _bcast_jets(ctx, TB, N)], axis=0
+        )
         la["hcat"] = hcat
         z_fl1 = _mm(W["w_fl1"][i], hcat) + W["b_fl1"][i]
         l1 = _leaky(z_fl1)
@@ -242,7 +250,7 @@ def _epic_kernel(
 
 
 def _pick_tile(B):
-    for tb in (64, 32, 16, 8, 4, 2, 1):
+    for tb in (128, 64, 32, 16, 8, 4, 2, 1):
         if B % tb == 0:
             return tb
     return 1

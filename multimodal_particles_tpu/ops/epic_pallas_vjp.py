@@ -35,9 +35,11 @@ from multimodal_particles_tpu.models.architectures.utils import (
 )
 from multimodal_particles_tpu.ops.epic_pallas import (
     WEIGHT_NAMES,
+    _bcast_jets,
     _forward_acts,
     _leaky,
     _mm,
+    _pool_sum,
     _selu,
     _weights_dict,
     pack_mbm_encoder_params,
@@ -97,7 +99,7 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
         x_ref[:], k_ref[:], mask, temb_ref[:], W,
         TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
     )
-    P, PT, denom = A["P"], A["PT"], A["denom"]
+    denom = A["denom"]
 
     gc = gc_ref[:]  # (dim_c, rows)
     gd = gd_ref[:]  # (V, rows)
@@ -164,7 +166,7 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
         layer_grads["b_fl1"][i] = _rowsum(dz_fl1)
         dhcat = _mm_at(W["w_fl1"][i], dz_fl1)  # (hidden+gdim+E, rows)
         dh_in = dh_in + dhcat[0:hidden, :]
-        dg_new = dg_new + _mm(dhcat[hidden : hidden + gdim, :], PT)
+        dg_new = dg_new + _pool_sum(dhcat[hidden : hidden + gdim, :], TB, N)
         # ctx cotangent dropped (no trainable params upstream)
 
         # g_new = leaky(z_fg2), z_fg2 = Wfg2 g1 + b + g_in
@@ -181,8 +183,8 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
         dmean = dp[0:hidden, :]
         dsum = dp[hidden : 2 * hidden, :] + dmean / denom
         dg_in = dg_in + dp[2 * hidden : 2 * hidden + gdim, :]
-        # s = (h_in*mask) PT  →  dh_in += (dsum P) * mask
-        dh_in = dh_in + _mm(dsum, P) * mask
+        # s = pool(h_in*mask)  →  dh_in += bcast(dsum) * mask
+        dh_in = dh_in + _bcast_jets(dsum, TB, N) * mask
 
         dh, dg = dh_in, dg_in
 
@@ -207,8 +209,8 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
     dmean0 = dp0[0:hidden, :]
     dsum0 = dp0[hidden : 2 * hidden, :] + dmean0 / denom
 
-    # h = h_act*mask; s0 = (h_act*mask) PT
-    dh_act = dh * mask + _mm(dsum0, P) * mask
+    # h = h_act*mask; s0 = pool(h_act*mask)
+    dh_act = dh * mask + _bcast_jets(dsum0, TB, N) * mask
     dz_l0 = dh_act * _dleaky(A["z_l0"])
     G["w_l0"] = _outer(dz_l0, A["feats"])
     G["b_l0"] = _rowsum(dz_l0)

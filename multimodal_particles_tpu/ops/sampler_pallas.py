@@ -118,7 +118,7 @@ def _step_kernel(t_ref, dt_ref, x_ref, k_ref, mask_ref, u_ref, *rest,
 
 
 def _pick_tile(B):
-    for tb in (64, 32, 16, 8, 4, 2, 1):
+    for tb in (128, 64, 32, 16, 8, 4, 2, 1):
         if B % tb == 0:
             return tb
     return 1

@@ -251,3 +251,47 @@ def test_sampler_smoke(model_and_batch):
     one_hot, tokens, cont, _, _, mask = final.to_multimodal_bridge_databatch()
     assert tokens.shape == (state.B, state.N, 1)
     assert (np.asarray(mask.sum(1))[:, 0] == d).all()
+
+
+def test_sampler_corrector_and_c_schedule(datamodule):
+    """Exercise the Langevin corrector, the jump corrector (birth & death)
+    and the two-level 'C' dt schedule (reference: sampler.py:79-88,258-312)."""
+    cfg, dm = datamodule
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sampler_kwargs.dt_schedule = "C"
+    cfg2.sampler_kwargs.dt_schedule_h = 0.2   # coarse early
+    cfg2.sampler_kwargs.dt_schedule_l = 0.1   # finer late
+    cfg2.sampler_kwargs.dt_schedule_tc = 0.5
+    cfg2.sampler_kwargs.dt = 0.1
+    cfg2.sampler_kwargs.corrector_steps = 1
+    cfg2.sampler_kwargs.corrector_start_time = 0.6
+    cfg2.sampler_kwargs.corrector_finish_time = 0.05
+    cfg2.sampler_kwargs.do_jump_corrector = True
+
+    batch = next(iter(dm.train))
+    model = TransdimensionalJumpDiffusion(cfg2, dm)
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+    final, nfe = model.sample(params, jax.random.PRNGKey(1), state)
+    # the 'C' grid: ~2-3 coarse steps then ~5 fine steps, each with a
+    # corrector pass in the window
+    assert nfe > 7
+    d = np.asarray(final.dims)
+    assert (d >= 1).all() and (d <= state.N).all()
+    assert np.isfinite(np.asarray(final.continuous)).all()
+
+
+def test_sampler_conditioning_not_implemented(datamodule):
+    cfg, dm = datamodule
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sampler_kwargs.do_conditioning = True
+    batch = next(iter(dm.train))
+    model = TransdimensionalJumpDiffusion(cfg2, dm)
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+    with pytest.raises(NotImplementedError):
+        model.sample(params, jax.random.PRNGKey(1), state)

@@ -148,7 +148,8 @@ class JetClassHighLevelFeatures:
             if use_quantiles
             else num_bins
         )
-        h = np.histogram(x, density=density, bins=bins)[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.histogram(x, density=density, bins=bins)[0]
         # quantile bins collapse to zero width on discrete-valued features
         # (e.g. multiplicity), making densities inf — the reference's KL then
         # returns NaN (jets.py:314-327); zero those bins instead

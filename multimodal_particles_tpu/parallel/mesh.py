@@ -75,7 +75,12 @@ def shard_batch(batch, mesh: Mesh):
 
 def pad_to_multiple(batch, multiple: int):
     """Pad the leading axis of every array in `batch` up to a multiple (for
-    even sharding), returning (padded_batch, original_size)."""
+    even sharding), returning (padded_batch, original_size).
+
+    Padding REPLICATES the last sample rather than zero-filling: losses that
+    follow the reference's unmasked reductions (e.g. the absorbing-flow CE,
+    absorbing_flows.py:224-236) would otherwise average fake all-zero rows
+    into the final partial batch of every epoch."""
     sizes = {np.asarray(v).shape[0] for v in jax.tree_util.tree_leaves(batch)}
     assert len(sizes) == 1, f"inconsistent batch sizes {sizes}"
     b = sizes.pop()
@@ -86,6 +91,6 @@ def pad_to_multiple(batch, multiple: int):
     def pad(x):
         x = np.asarray(x)
         reps = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
-        return np.pad(x, reps)
+        return np.pad(x, reps, mode="edge")
 
     return jax.tree_util.tree_map(pad, batch), b

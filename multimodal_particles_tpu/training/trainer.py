@@ -288,6 +288,18 @@ class Trainer:
             train_loss = float(
                 np.mean([float(m["loss"]) for m in train_losses])
             ) if train_losses else float("nan")
+            # per-head / diagnostic components, epoch-averaged
+            components = {}
+            if train_losses:
+                for name in train_losses[0]:
+                    if name == "loss":
+                        continue
+                    try:
+                        components[f"train_{name}"] = float(
+                            np.mean([float(m[name]) for m in train_losses])
+                        )
+                    except (TypeError, ValueError):
+                        pass
 
             val_loss = None
             if datamodule.valid is not None:
@@ -305,6 +317,7 @@ class Trainer:
                 "train_loss": train_loss,
                 "val_loss": val_loss,
                 "epoch_time_s": time.time() - t0,
+                **components,
             }
             history.append(record)
             self._log_metrics(record)

@@ -90,7 +90,7 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--batch-size", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-jets", type=int, default=100_000)
-    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--batch-size", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--no-collect", action="store_true")
     ap.add_argument("--checkpoint", default=None, help="experiment dir to load")

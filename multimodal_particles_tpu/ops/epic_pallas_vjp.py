@@ -240,6 +240,8 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
 
 
 def _pick_tile(B):
+    # the recompute-backward keeps every layer activation live in VMEM:
+    # TB=128 needs ~24.5MB (>16MB scoped limit); 64 fits
     for tb in (64, 32, 16, 8, 4, 2, 1):
         if B % tb == 0:
             return tb

@@ -296,7 +296,12 @@ def make_epic_train_forward(*, num_blocks, use_skip, add_discrete_head, dim_c,
 
     def fwd_impl(packed, t, x, k, mask):
         B, N = x.shape[0], x.shape[1]
-        TB = _pick_tile(B)
+        # the forward kernel has no recompute storage — larger tiles fit
+        from multimodal_particles_tpu.ops.epic_pallas import (
+            _pick_tile as _pick_tile_fwd,
+        )
+
+        TB = _pick_tile_fwd(B)
         xT, kT, maskT, tembT = _layout(t, x, k, mask, dim_emb_time)
         base, wspecs, _ = _specs(B, N, TB, packed)
         kernel = functools.partial(_fwd_kernel, TB=TB, N=N, **static)

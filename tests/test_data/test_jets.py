@@ -102,3 +102,44 @@ def test_dataloader_module_and_random_databatch():
     # histograms recorded
     cfg2 = dm.update_config(cfg)
     assert cfg2.data.target_info["hist_num_particles"] is not None
+
+
+def test_onehot_dequantize_roundtrip():
+    """The 'onehot_dequantize' discrete mode folds the 8-token one-hot into
+    the continuous block and back (reference: particles.py:106-149)."""
+    from multimodal_particles_tpu.data.particle_clouds.particles import ParticleClouds
+
+    cfg = _small_config()
+    pc = ParticleClouds(
+        "AspenOpenJets", max_num_particles=32, num_jets=50, seed=0
+    )
+    raw_cont = pc.continuous.copy()
+    raw_disc = pc.discrete.copy()
+    pc.preprocess(output_continuous="standardize", output_discrete="onehot_dequantize")
+    assert not hasattr(pc, "discrete")
+    assert pc.continuous.shape[-1] == 3 + 8  # kinematics + token one-hot
+
+    # the generation flow rebuilds a cloud from the combined tensor (the
+    # tensor ctor splits it back into continuous[:3] / one-hot channels),
+    # then postprocess inverts — same as the reference inference notebook
+    full = np.concatenate([pc.continuous, pc.mask.astype(np.float32)], axis=-1)
+    pc2 = ParticleClouds(full)
+    pc2.stats = pc.stats
+    pc2.postprocess(input_continuous="standardize", input_discrete="onehot_dequantize")
+    assert pc2.continuous.shape[-1] == 3
+    valid = pc2.mask[..., 0] > 0
+    np.testing.assert_allclose(pc2.continuous[valid], raw_cont[valid], atol=1e-3)
+    # discrete content restored (flavor one-hot + charge)
+    assert pc2.discrete.shape[-1] == 6
+    np.testing.assert_array_equal(pc2.discrete[valid], raw_disc[valid])
+
+
+def test_three_way_split_and_test_loader():
+    cfg = _small_config()
+    cfg.data.data_split_frac = [0.6, 0.2, 0.2]
+    jets = JetDataclass(cfg)
+    jets.preprocess()
+    dm = JetsDataloaderModule(cfg, jets)
+    assert dm.test is not None
+    n = sum(b.target_continuous.shape[0] for b in dm.test)
+    assert n == 20  # 0.2 × 100 jets

@@ -117,7 +117,9 @@ def main():
     if args.train:
         import optax
 
-        tx = optax.adamw(config.train.lr)
+        from multimodal_particles_tpu.training.trainer import resolve_train_config
+
+        tx = optax.adamw(resolve_train_config(config).lr)
         opt_state = tx.init(params)
 
         @jax.jit

@@ -33,12 +33,14 @@ class MultimodalBridgeDataset:
     """Array-backed dataset with 'namedtuple' (MBM/absorbing) and 'list'
     (transdimensional) return modes (reference: jets_dataloader.py:30-151)."""
 
-    def __init__(self, data: JetDataclass, return_type="namedtuple"):
+    def __init__(self, data: JetDataclass, return_type=None):
         self.data = data
         self.attributes = []
         self.vocab_size_features = data.vocab_size_features
         self.vocab_size_context = data.vocab_size_context
-        self.return_type = data.config.data.return_type
+        self.return_type = (
+            return_type if return_type is not None else data.config.data.return_type
+        )
 
         if hasattr(data.source, "continuous") and self.return_type == "namedtuple":
             self.attributes.append("source_continuous")
@@ -189,6 +191,10 @@ class JetsDataloaderModule:
             if shuffle
             else np.arange(total)
         )
+        if self.data_split[2] == 0:
+            # flooring both fractions can strand a remainder in the (unused)
+            # test slice; fold it into validation instead of dropping it
+            return idx[:train_size], idx[train_size:], idx[:0]
         return (
             idx[:train_size],
             idx[train_size : train_size + valid_size],

@@ -159,7 +159,9 @@ class ParticleClouds:
                 self.continuous = np.concatenate(
                     [self.continuous, self.discrete], axis=-1
                 )
-            stats = getattr(self, "stats", stats)
+            # explicit override wins; the reference prefers stale self.stats
+            # (particles.py:131), silently ignoring the caller's argument
+            stats = stats if stats is not None else getattr(self, "stats", None)
             mean = np.asarray(stats["mean"], dtype=np.float32)
             std = np.asarray(stats["std"], dtype=np.float32)
             self.continuous = self.continuous * std + mean

@@ -34,8 +34,11 @@ def read_aoj_file(filepath):
     with h5py.File(filepath, "r") as f:
         pf = f["PFCands"][:].astype(np.float64)
 
-    # remove entries with |pid| < 11
-    bad = np.abs(pf[:, :, -2]) < 11
+    # remove entries whose |pid| is not a known species (the reference zeroes
+    # |pid| < 11; unknown heavier species (e.g. 321, 2212) must not silently
+    # fall through to the electron slot)
+    known = (11, 13, 22, 130, 211)
+    bad = ~np.isin(np.abs(pf[:, :, -2]), known)
     pf[bad] = 0.0
 
     pid = np.abs(pf[:, :, -2])

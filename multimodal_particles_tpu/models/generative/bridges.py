@@ -67,6 +67,9 @@ def schrodinger_sample(key, t, x0, x1, sigma):
 
 
 def schrodinger_drift(t, x, x0, x1):
+    # clamp away from the endpoints: MBM draws t ~ U[0,1) with no epsilon
+    # floor (reference parity), and t = 0 would make the target infinite
+    t = jnp.clip(t, 1e-6, 1.0 - 1e-6)
     denom = t * (1.0 - t)
     A = (1.0 - 2.0 * t) / denom
     B = t**2 / denom

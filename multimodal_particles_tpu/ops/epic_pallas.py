@@ -361,4 +361,7 @@ def mbm_pallas_supported(config) -> bool:
         and d.dim_context_continuous == 0
         and d.dim_context_discrete == 0
         and d.dim_features_discrete == 1
+        # the kernels' per-jet lane split (d, TB·N) -> (d, TB, N) is only a
+        # Mosaic-supported reshape when N is a lane multiple
+        and d.max_num_particles % 128 == 0
     )

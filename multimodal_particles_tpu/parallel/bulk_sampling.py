@@ -135,6 +135,9 @@ def bulk_sample(
     # precompute all chunk keys in ONE device call (a per-chunk fold_in
     # dispatch costs ~100 ms over the remote tunnel)
     all_keys = np.asarray(jax.random.split(key, max(n_chunks, 1)))
+    # warm up / compile outside the timer (chunk 0 is re-run timed below)
+    _, warm = chunk_fn(params, jnp.asarray(all_keys[0]))
+    float(warm)
     t0 = time.perf_counter()
     for i in range(n_chunks):
         out, checksum = chunk_fn(params, jnp.asarray(all_keys[i]))

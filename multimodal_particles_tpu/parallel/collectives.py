@@ -50,7 +50,7 @@ def replicated_spec():
     return P()
 
 
-def make_shard_map_train_step(model, tx, mesh, ema_decay=None):
+def make_shard_map_train_step(model, tx, mesh, ema_decay=None, skip_nonfinite=False):
     """Explicit-collectives train step: each rank computes grads on its
     batch shard, `pmean`s them over 'data', and applies the update
     replicated — the shard_map formulation of what the jit+shardings path
@@ -74,6 +74,23 @@ def make_shard_map_train_step(model, tx, mesh, ema_decay=None):
         import optax
 
         new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            finite = jnp.all(
+                jnp.asarray(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+                )
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_params, state.params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old)
+                if hasattr(new, "dtype")
+                else new,
+                new_opt_state,
+                state.opt_state,
+            )
+            metrics = {**metrics, "nonfinite_grads": 1.0 - finite}
         new_ema = state.ema_params
         if ema_decay is not None:
             new_ema = jax.tree_util.tree_map(

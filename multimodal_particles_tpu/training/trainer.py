@@ -253,7 +253,11 @@ class Trainer:
             )
 
             self._train_step = make_shard_map_train_step(
-                model, tx, self.mesh, ema_decay=ema_decay
+                model,
+                tx,
+                self.mesh,
+                ema_decay=ema_decay,
+                skip_nonfinite=skip_nonfinite,
             )
         else:
             donate = (
@@ -304,10 +308,15 @@ class Trainer:
             val_loss = None
             if datamodule.valid is not None:
                 val_losses = []
-                for batch in datamodule.valid:
+                for i, batch in enumerate(datamodule.valid):
                     batch, _ = pad_to_multiple(batch, self.data_parallel)
                     batch = shard_batch(batch, self.mesh)
-                    m = self._eval_step(self.state, key, batch)
+                    # fold the batch index in: state.step is constant across
+                    # the epoch's validation, which would reuse identical
+                    # bridge times/noise for every batch
+                    m = self._eval_step(
+                        self.state, jax.random.fold_in(key, 7919 + i), batch
+                    )
                     val_losses.append(float(m["loss"]))
                 val_loss = float(np.mean(val_losses)) if val_losses else None
 

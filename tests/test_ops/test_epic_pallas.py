@@ -30,7 +30,9 @@ def test_pallas_matches_flax(B, N):
     cfg = MultimodalBridgeMatchingConfig.from_yaml(CONFIG_PATH)
     cfg.data.batch_size = B
     cfg.data.max_num_particles = N
-    assert mbm_pallas_supported(cfg)
+    # the TPU-lowering gate requires N % 128 == 0; interpret mode (this
+    # test) runs any N
+    assert mbm_pallas_supported(cfg) == (N % 128 == 0)
 
     batch = jax.tree_util.tree_map(
         jnp.asarray, JetsDataloaderModule.random_databatch(cfg)

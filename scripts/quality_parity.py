@@ -132,6 +132,10 @@ def main():
     steps_per_epoch = max(len(dm.train), 1)
     epochs = max(1, math.ceil(args.train_steps / steps_per_epoch))
     config.train.epochs = epochs
+    # identical annealing for both: anneal to eta_min exactly at the end of
+    # the run (past T_max my schedule clamps at eta_min while torch's cycles
+    # back up — setting T_max = epochs keeps both in the monotone regime)
+    config.train.scheduler_params["T_max"] = epochs
     print(f"data: {len(dm.dataset)} jets, {steps_per_epoch} steps/epoch, "
           f"{epochs} epochs (~{epochs * steps_per_epoch} steps)")
 
@@ -163,9 +167,9 @@ def main():
         ref_config = RefConfig.from_yaml(config_path)
         ref_model = RefMBM(ref_config)
         opt = torch.optim.Adam(ref_model.parameters(), lr=ref_config.train.lr)
-        sp = ref_config.train.scheduler_params
+        sp = config.train.scheduler_params  # same (epoch-count) T_max as the JAX run
         sched = torch.optim.lr_scheduler.CosineAnnealingLR(
-            opt, T_max=sp["T_max"], eta_min=sp["eta_min"], last_epoch=sp["last_epoch"]
+            opt, T_max=sp["T_max"], eta_min=sp["eta_min"], last_epoch=-1
         )
         dm.set_dataloader()  # identical batch sequence as the JAX run
         ref_model.train()

@@ -1,0 +1,536 @@
+"""Numerical parity against the actual torch reference implementation.
+
+Transplants one set of weights between the torch reference modules and the
+flax rebuild and asserts forward/loss equality, plus golden comparisons of
+the bridge math on fixed inputs (VERDICT r1 item 2).
+
+Reference: models/architectures/epic.py:93-241,
+models/generative/bridges.py:106-286,
+models/generative/multimodal_bridge_matching.py:167-197,
+models/generative/diffusion/noising.py:7-78, utils/losses.py:9-35.
+
+Skipped cleanly when torch or the reference mount is absent.
+"""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from multimodal_particles_tpu.utils.torch_reference import (  # noqa: E402
+    load_reference,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+B, N = 4, 32
+RTOL, ATOL = 1e-5, 1e-5
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    return load_reference()
+
+
+@pytest.fixture(scope="module")
+def config_path():
+    from multimodal_particles_tpu import test_resources_dir
+
+    return os.path.join(test_resources_dir, "configs_files", "config-mbm-test.yaml")
+
+
+@pytest.fixture(scope="module")
+def models(ref_pkg, config_path):
+    """(flax model+params, torch model) with the torch weights transplanted
+    into the flax param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles.config_classes.multimodal_bridge_matching_config import (
+        MultimodalBridgeMatchingConfig as RefConfig,
+    )
+    from multimodal_particles.models.generative.multimodal_bridge_matching import (
+        MultiModalBridgeMatching as RefMBM,
+    )
+
+    from multimodal_particles_tpu.config_classes import MultimodalBridgeMatchingConfig
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        JetsDataloaderModule,
+    )
+    from multimodal_particles_tpu.models.generative.multimodal_bridge_matching import (
+        MultiModalBridgeMatching,
+    )
+
+    cfg = MultimodalBridgeMatchingConfig.from_yaml(config_path)
+    cfg.data.batch_size = B
+    cfg.data.max_num_particles = N
+    model = MultiModalBridgeMatching(cfg)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, JetsDataloaderModule.random_databatch(cfg)
+    )
+    params = jax.device_get(model.init(jax.random.PRNGKey(0), batch))
+
+    torch.manual_seed(0)
+    ref_cfg = RefConfig.from_yaml(config_path)
+    ref_model = RefMBM(ref_cfg)
+    ref_model.eval()
+
+    params = transplant_mbm(ref_model, params)
+    return model, params, ref_model, cfg
+
+
+def _wn(flax_leaf, torch_module):
+    """Fill one WeightNormDense param dict from a torch weight_norm(Linear)."""
+    flax_leaf["v"] = torch_module.weight_v.detach().numpy().T.copy()
+    flax_leaf["g"] = torch_module.weight_g.detach().numpy().reshape(-1).copy()
+    flax_leaf["bias"] = torch_module.bias.detach().numpy().copy()
+
+
+def _dense(flax_leaf, torch_module):
+    flax_leaf["kernel"] = torch_module.weight.detach().numpy().T.copy()
+    flax_leaf["bias"] = torch_module.bias.detach().numpy().copy()
+
+
+def transplant_mbm(ref_model, params):
+    """torch reference MultiModalBridgeMatching → flax param tree."""
+    enc = params["encoder"]
+    t_enc = ref_model.encoder
+
+    emb = enc["epic"]["embedding"]
+    _dense(emb["embedding_continuous"], t_enc.epic.embedding.embedding_continuous)
+    emb["embedding_discrete"]["embedding"] = (
+        t_enc.epic.embedding.embedding_discrete.weight.detach().numpy().copy()
+    )
+
+    net = enc["epic"]["epic"]
+    proj = t_enc.epic.epic.epic_proj
+    _wn(net["epic_proj"]["local_0"], proj.local_0)
+    _wn(net["epic_proj"]["global_0"], proj.global_0)
+    _wn(net["epic_proj"]["global_1"], proj.global_1)
+    _wn(net["epic_proj"]["global_2"], proj.global_2)
+    for i, layer in enumerate(t_enc.epic.epic.epic_layers):
+        blk = net[f"epic_layer_{i}"]
+        _wn(blk["fc_global1"], layer.fc_global1)
+        _wn(blk["fc_global2"], layer.fc_global2)
+        _wn(blk["fc_local1"], layer.fc_local1)
+        _wn(blk["fc_local2"], layer.fc_local2)
+    _wn(net["output_layer"], t_enc.epic.epic.output_layer)
+
+    if "fc_layer" in enc:
+        _dense(enc["fc_layer"]["layers_0"], t_enc.fc_layer[0])
+        _dense(enc["fc_layer"]["layers_2"], t_enc.fc_layer[2])
+
+    params["loss_weights"] = (
+        ref_model.loss_multihead.weights.detach().numpy().copy()
+    )
+    return params
+
+
+def _fixed_state(seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.full((B, 1, 1), 0.37, np.float32)
+    x = rng.standard_normal((B, N, 3)).astype(np.float32)
+    k = rng.integers(0, 8, (B, N, 1))
+    mask = (rng.random((B, N, 1)) < 0.8).astype(np.float32)
+    return t, x, k, mask
+
+
+def _fixed_batch(seed=11):
+    rng = np.random.default_rng(seed)
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        MultimodalDatabatch,
+    )
+
+    return MultimodalDatabatch(
+        source_continuous=rng.standard_normal((B, N, 3)).astype(np.float32),
+        source_discrete=rng.integers(0, 8, (B, N, 1)),
+        source_mask=(rng.random((B, N, 1)) < 0.8).astype(np.int64),
+        target_continuous=rng.standard_normal((B, N, 3)).astype(np.float32),
+        target_discrete=rng.integers(0, 8, (B, N, 1)),
+        target_mask=(rng.random((B, N, 1)) < 0.8).astype(np.int64),
+    )
+
+
+def _to_torch_batch(batch):
+    cls = type(batch)
+    return cls(
+        **{
+            k: (None if v is None else torch.from_numpy(np.asarray(v)))
+            for k, v in batch._asdict().items()
+        }
+    )
+
+
+def test_epic_forward_parity(models):
+    """Transplanted weights ⇒ identical MultiModalEPiC heads
+    (reference: epic.py:93-241)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.models.generative.states import HybridState
+
+    model, params, ref_model, _ = models
+    t, x, k, mask = _fixed_state()
+
+    state = HybridState(
+        time=jnp.asarray(t),
+        continuous=jnp.asarray(x),
+        discrete=jnp.asarray(k),
+        absorbing=jnp.asarray(mask),
+    )
+    heads = model.forward(params, state, _fixed_batch())
+
+    with torch.no_grad():
+        tc, td, _ = ref_model.encoder(
+            t=torch.from_numpy(t),
+            x=torch.from_numpy(x),
+            k=torch.from_numpy(k),
+            mask=torch.from_numpy(mask),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(heads.continuous), tc.numpy(), rtol=RTOL, atol=ATOL
+    )
+    np.testing.assert_allclose(
+        np.asarray(heads.discrete), td.numpy(), rtol=RTOL, atol=ATOL
+    )
+
+
+def test_mbm_loss_parity(models):
+    """Identical fixed bridge state ⇒ identical per-head and combined losses
+    (reference: multimodal_bridge_matching.py:167-197, losses.py:21-29)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.models.generative.states import HybridState
+    from multimodal_particles_tpu.utils.losses import multihead_loss
+
+    model, params, ref_model, _ = models
+    t, x, k, mask = _fixed_state(seed=13)
+    batch = _fixed_batch(seed=17)
+    t = np.broadcast_to(
+        np.random.default_rng(3).uniform(0.05, 0.95, (B, 1, 1)).astype(np.float32),
+        (B, 1, 1),
+    ).copy()
+
+    state = HybridState(
+        time=jnp.asarray(t),
+        continuous=jnp.asarray(x),
+        discrete=jnp.asarray(k),
+        absorbing=jnp.asarray(batch.target_mask, jnp.float32),
+    )
+    jbatch = batch
+    heads = model.forward(params, state, jbatch)
+    l0 = float(model.loss_continuous(heads, state, jbatch))
+    l1 = float(model.loss_discrete(heads, state, jbatch))
+    combined, _ = multihead_loss(
+        [jnp.asarray(l0), jnp.asarray(l1)], jnp.asarray(params["loss_weights"])
+    )
+
+    from multimodal_particles.models.generative.multimodal_bridge_matching import (
+        HybridState as RefHybridState,
+    )
+
+    tb = _to_torch_batch(batch)
+    rstate = RefHybridState(
+        time=torch.from_numpy(t),
+        continuous=torch.from_numpy(x),
+        discrete=torch.from_numpy(k),
+        absorbing=tb.target_mask.float(),
+    )
+    with torch.no_grad():
+        rheads = ref_model.forward(rstate, tb)
+        rl0 = float(ref_model.loss_continuous(rheads, rstate, tb))
+        rl1 = float(ref_model.loss_discrete(rheads, rstate, tb))
+        rcombined, _ = ref_model.loss_multihead([torch.tensor(rl0), torch.tensor(rl1)])
+
+    assert abs(l0 - rl0) < 1e-5, (l0, rl0)
+    assert abs(l1 - rl1) < 1e-5, (l1, rl1)
+    assert abs(float(combined) - float(rcombined)) < 1e-5
+
+
+def test_telegraph_probability_parity(models, ref_pkg):
+    """Telegraph conditional + posterior transition probabilities match the
+    torch formulas on fixed inputs (reference: bridges.py:134-177)."""
+    import jax.numpy as jnp
+
+    model, params, ref_model, cfg = models
+    rng = np.random.default_rng(5)
+    t = rng.uniform(0.05, 0.95, (B, 1, 1)).astype(np.float32)
+    k0 = rng.integers(0, 8, (B, N, 1))
+    k1 = rng.integers(0, 8, (B, N, 1))
+
+    probs = np.asarray(
+        model.bridge_discrete.transition_probability(
+            jnp.asarray(t), jnp.asarray(k0), jnp.asarray(k1)
+        )
+    )
+    with torch.no_grad():
+        rprobs = ref_model.bridge_discrete.transition_probability(
+            torch.from_numpy(t), torch.from_numpy(k0), torch.from_numpy(k1)
+        ).numpy()
+    np.testing.assert_allclose(probs, rprobs, rtol=1e-5, atol=1e-6)
+
+
+def test_telegraph_rate_parity(models):
+    """Reverse rate from logits matches (reference: bridges.py:106-132)."""
+    import jax.numpy as jnp
+
+    model, params, ref_model, _ = models
+    rng = np.random.default_rng(9)
+    t = rng.uniform(0.05, 0.95, (B, 1, 1)).astype(np.float32)
+    k = rng.integers(0, 8, (B, N, 1))
+    logits = rng.standard_normal((B, N, 8)).astype(np.float32)
+
+    rate = np.asarray(
+        model.bridge_discrete.rate(jnp.asarray(t), jnp.asarray(k), jnp.asarray(logits))
+    )
+    with torch.no_grad():
+        rrate = ref_model.bridge_discrete.rate(
+            torch.from_numpy(t.reshape(B, 1)),
+            torch.from_numpy(k),
+            torch.from_numpy(logits),
+        ).numpy()
+    np.testing.assert_allclose(rate, rrate, rtol=1e-5, atol=1e-6)
+
+
+def test_linear_bridge_parity(models):
+    """Linear-uniform drift matches the torch bridge
+    (reference: bridges.py:23-33)."""
+    import jax.numpy as jnp
+
+    model, params, ref_model, _ = models
+    rng = np.random.default_rng(21)
+    t = rng.uniform(0.0, 1.0, (B, 1, 1)).astype(np.float32)
+    x0 = rng.standard_normal((B, N, 3)).astype(np.float32)
+    x1 = rng.standard_normal((B, N, 3)).astype(np.float32)
+    x = rng.standard_normal((B, N, 3)).astype(np.float32)
+
+    drift = np.asarray(
+        model.bridge_continuous.drift(jnp.asarray(t), jnp.asarray(x), jnp.asarray(x0), jnp.asarray(x1))
+    )
+    with torch.no_grad():
+        rdrift = ref_model.bridge_continuous.drift(
+            torch.from_numpy(t), torch.from_numpy(x), torch.from_numpy(x0), torch.from_numpy(x1)
+        ).numpy()
+    np.testing.assert_allclose(drift, rdrift, rtol=1e-6, atol=1e-6)
+
+
+def test_absorbing_bridge_parity(ref_pkg, config_path):
+    """Absorbing survival probability and rate match the torch formulas
+    (reference: bridges.py:218-258)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.config_classes.absorbing_flows_config import (
+        AbsorbingConfig as RefAbsorbingConfig,
+    )
+    from multimodal_particles.models.generative.bridges import (
+        AbsorbingBridge as RefAbsorbingBridge,
+    )
+
+    from multimodal_particles_tpu.config_classes import AbsorbingConfig
+    from multimodal_particles_tpu.models.generative.bridges import AbsorbingBridge
+
+    cfg = AbsorbingConfig()
+    bridge = AbsorbingBridge.from_config(cfg)
+    ref_bridge = RefAbsorbingBridge(RefAbsorbingConfig())
+
+    rng = np.random.default_rng(31)
+    t = rng.uniform(0.02, 0.98, (B,)).astype(np.float32)
+    sp = np.asarray(bridge.survival_probability(jnp.asarray(t)))
+    with torch.no_grad():
+        rsp = ref_bridge.survival_probability(torch.from_numpy(t)).numpy()
+    np.testing.assert_allclose(sp, rsp, rtol=1e-5, atol=1e-6)
+
+    t2 = rng.uniform(0.02, 0.98, (B, 1, 1)).astype(np.float32)
+    k = rng.integers(0, 2, (B, N, 1))
+    logits = rng.standard_normal((B, N, 1)).astype(np.float32)
+    # my rate broadcasts t as (B,1,1) (state.time); the torch one takes (B,1)
+    rate = np.asarray(
+        bridge.rate(jnp.asarray(t2), jnp.asarray(k), jnp.asarray(logits))
+    )
+    with torch.no_grad():
+        rrate = ref_bridge.rate(
+            torch.from_numpy(t2[:, 0]), torch.from_numpy(k), torch.from_numpy(logits)
+        ).numpy()
+    np.testing.assert_allclose(rate, rrate, rtol=1e-5, atol=1e-6)
+
+
+def test_vp_sde_parity(ref_pkg):
+    """VP-SDE p0t / transition stats match the torch formulas
+    (reference: diffusion/noising.py:15-78)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.generative.diffusion.noising import (
+        VP_SDE as RefVPSDE,
+    )
+
+    from multimodal_particles_tpu.models.generative.diffusion.noising import VP_SDE
+
+    D = 12
+    sde = VP_SDE(max_dim=D, beta_min=0.1, beta_max=20.0)
+    ref_sde = RefVPSDE(max_dim=D, beta_min=0.1, beta_max=20.0)
+
+    rng = np.random.default_rng(41)
+    ts = rng.uniform(0.01, 0.99, (B,)).astype(np.float32)
+    lats = rng.standard_normal((B, D)).astype(np.float32)
+
+    mean, std = sde.get_p0t_stats(jnp.asarray(lats), jnp.asarray(ts))
+    shim = SimpleNamespace(get_flat_lats=lambda: torch.from_numpy(lats))
+    with torch.no_grad():
+        rmean, rstd = ref_sde.get_p0t_stats(shim, torch.from_numpy(ts))
+    np.testing.assert_allclose(np.asarray(mean), rmean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(std), rstd.numpy(), rtol=1e-5, atol=1e-6)
+
+    t1 = rng.uniform(0.01, 0.5, (B,)).astype(np.float32)
+    t2 = t1 + rng.uniform(0.01, 0.4, (B,)).astype(np.float32)
+    mean2, std2 = sde.get_pxt2_xt1_stats(jnp.asarray(lats), jnp.asarray(t1), jnp.asarray(t2))
+    with torch.no_grad():
+        rmean2, rstd2 = ref_sde.get_pxt2_xt1_stats(
+            shim, torch.from_numpy(t1), torch.from_numpy(t2)
+        )
+    np.testing.assert_allclose(np.asarray(mean2), rmean2.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(std2), rstd2.numpy(), rtol=1e-5, atol=1e-6)
+
+    beta = np.asarray(sde.get_beta_t(jnp.asarray(ts)))
+    with torch.no_grad():
+        rbeta = ref_sde.get_beta_t(torch.from_numpy(ts)).numpy()
+    np.testing.assert_allclose(beta, rbeta, rtol=1e-6, atol=1e-7)
+
+
+def test_multihead_loss_parity(ref_pkg):
+    """Learnable uncertainty-weighted combine matches
+    (reference: utils/losses.py:21-29)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.utils.losses import MultiHeadLoss as RefMultiHeadLoss
+
+    from multimodal_particles_tpu.utils.losses import multihead_loss
+
+    weights = np.array([0.3, -0.7], np.float32)
+    losses = [2.5, 1.25]
+
+    combined, per_head = multihead_loss(
+        [jnp.asarray(v) for v in losses], jnp.asarray(weights)
+    )
+
+    ref_loss = RefMultiHeadLoss(mode="learnable")
+    with torch.no_grad():
+        ref_loss.weights.copy_(torch.from_numpy(weights))
+        rcombined, _ = ref_loss([torch.tensor(v) for v in losses])
+    assert abs(float(combined) - float(rcombined)) < 1e-6
+
+
+def _conv1(flax_leaf, torch_conv):
+    """torch Conv1d(k=1) (out,in,1) → flax Dense kernel (in,out)."""
+    flax_leaf["kernel"] = torch_conv.weight.detach().numpy()[:, :, 0].T.copy()
+    flax_leaf["bias"] = torch_conv.bias.detach().numpy().copy()
+
+
+def _gn(flax_leaf, torch_gn):
+    flax_leaf["scale"] = torch_gn.weight.detach().numpy().copy()
+    flax_leaf["bias"] = torch_gn.bias.detach().numpy().copy()
+
+
+def test_gsdm_resnet_block_parity(ref_pkg):
+    """ResnetBlock((B,N,C) flax) matches torch ResnetBlock((B,C,N))
+    with transplanted weights (reference: gsdm.py:38-66)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.architectures.gsdm import (
+        ResnetBlock as RefResnetBlock,
+    )
+
+    from multimodal_particles_tpu.models.architectures.gsdm import ResnetBlock
+
+    C, TC, n = 64, 32, 16
+    torch.manual_seed(1)
+    ref_blk = RefResnetBlock(channels=C, dropout=0.0, temb_channels=TC)
+    ref_blk.eval()
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((B, n, C)).astype(np.float32)
+    temb = rng.standard_normal((B, TC)).astype(np.float32)
+
+    blk = ResnetBlock(channels=C, dropout=0.0, temb_channels=TC)
+    params = jax.device_get(
+        blk.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(temb))
+    )["params"]
+    _gn(params["norm1"], ref_blk.norm1)
+    _conv1(params["conv1"], ref_blk.conv1)
+    _conv1(params["temb_proj"], ref_blk.temb_proj)
+    _gn(params["norm2"], ref_blk.norm2)
+    _conv1(params["conv2"], ref_blk.conv2)
+
+    out = np.asarray(blk.apply({"params": params}, jnp.asarray(x), jnp.asarray(temb)))
+    with torch.no_grad():
+        # torch layout is channel-first: (B, C, N)
+        rout = (
+            ref_blk(
+                torch.from_numpy(x).permute(0, 2, 1),
+                torch.from_numpy(temb)[:, :, None],
+            )
+            .permute(0, 2, 1)
+            .numpy()
+        )
+    np.testing.assert_allclose(out, rout, rtol=1e-4, atol=1e-5)
+
+
+def test_gsdm_attn_block_parity(ref_pkg):
+    """AttnBlock((B,N,C) flax) matches torch AttnBlock((B,C,N)) with
+    transplanted weights, unmasked (reference: gsdm.py:69-168)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.architectures.gsdm import (
+        AttnBlock as RefAttnBlock,
+    )
+
+    from multimodal_particles_tpu.models.architectures.gsdm import AttnBlock
+
+    C, n, heads = 64, 16, 4
+    torch.manual_seed(3)
+    ref_blk = RefAttnBlock(in_channels=C, n_heads=heads)
+    ref_blk.eval()
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, n, C)).astype(np.float32)
+
+    blk = AttnBlock(in_channels=C, n_heads=heads)
+    params = jax.device_get(blk.init(jax.random.PRNGKey(0), jnp.asarray(x)))["params"]
+    _gn(params["norm"], ref_blk.norm)
+    _conv1(params["q"], ref_blk.q)
+    _conv1(params["k"], ref_blk.k)
+    _conv1(params["v"], ref_blk.v)
+    _conv1(params["proj_out"], ref_blk.proj_out)
+
+    out = np.asarray(blk.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        rout = (
+            ref_blk(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1).numpy()
+        )
+    np.testing.assert_allclose(out, rout, rtol=1e-4, atol=1e-5)
+
+
+def test_gsdm_timestep_embedding_parity(ref_pkg):
+    """DDPM timestep embedding matches (reference: gsdm.py:8-26)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.architectures.gsdm import (
+        get_timestep_embedding as ref_emb,
+    )
+
+    from multimodal_particles_tpu.models.architectures.utils import (
+        get_timestep_embedding,
+    )
+
+    ts = np.linspace(0.0, 1.0, 7).astype(np.float32)
+    mine = np.asarray(get_timestep_embedding(jnp.asarray(ts), 32))
+    with torch.no_grad():
+        theirs = ref_emb(torch.from_numpy(ts), 32).numpy()
+    np.testing.assert_allclose(mine, theirs, rtol=1e-5, atol=1e-6)

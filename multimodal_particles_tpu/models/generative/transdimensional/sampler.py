@@ -1,4 +1,4 @@
-"""Reverse-time jump-diffusion sampler as a fixed-length `lax.scan`.
+"""Reverse-time jump-diffusion sampler as fixed-length `lax.scan`s.
 
 The reference sampler is a data-dependent Python `while ts > dt/2` loop with
 per-sample torch Generators and shape surgery per step (reference:
@@ -6,23 +6,36 @@ models/generative/transdimensional/sampler.py:49-324). The TPU-native
 re-design:
 
   * the time grid is precomputed on the host from the (static) dt schedule —
-    'uniform' or the two-level 'C' schedule — giving a static scan length;
+    'uniform' or the two-level 'C' schedule — giving static scan lengths;
+  * the grid is split into contiguous corrector-on / corrector-off segments
+    (the corrector window [corrector_finish_time, corrector_start_time] is
+    static), and each segment runs its own scan: steps outside the window
+    never pay the corrector's extra network evaluations;
   * per-step state is the fixed-shape `StructuredState` + per-sample dims;
     dimension births are mask writes at row `dims`, never reshapes;
-  * corrector steps are a static inner loop, gated per-step by the
-    (precomputed) corrector time window; the optional jump corrector
-    performs birth AND death moves (sampler.py:286-312);
   * `no_noise_final_step` multiplies the final-step noise by a traced flag
     instead of branching;
   * randomness is one threaded PRNG key (replacing StackedRandomGenerator,
-    sampler.py:19-45 — per-sample determinism comes from key folding).
+    sampler.py:19-45 — per-sample determinism comes from key folding);
+  * reconstruction-guidance conditioning (sampler.py:102-155) is a jit-able
+    branch: the l2 reconstruction error of the conditioned observables under
+    the x0 prediction is differentiated with `jax.value_and_grad` through
+    the network forward (one forward + one backward per step, matching the
+    reference's autograd cost).
 
-Reconstruction-guidance conditioning (sampler.py:102-155) is not wired in
-this round (`do_conditioning=True` raises).
+Returned NFE counts actual network evaluations: one per step plus
+`corrector_steps` per corrector-window step (the reference increments nfe
+per `get_score` call — sampler.py:217,264).
+
+Schedule note: with the 'C' dt schedule the reference advances time by the
+scheduled dt but still scales the EM/jump updates by the *base* `self.dt`
+(sampler.py:219-232), leaving the update inconsistent with the time actually
+stepped. Here the scheduled per-step dt is used consistently in both.
 """
 
 import math
 from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,24 +81,61 @@ def _build_time_grid(cfg):
         np.asarray(ts_list, np.float32),
         np.asarray(dt_list, np.float32),
         np.asarray(will_finish_list, np.float32),
-        np.asarray(corrector_on_list, np.float32),
+        np.asarray(corrector_on_list, bool),
         finish_at,
     )
+
+
+def _segments(flags):
+    """Contiguous runs of a boolean array → [(start, end, value)]."""
+    runs = []
+    start = 0
+    for i in range(1, len(flags) + 1):
+        if i == len(flags) or flags[i] != flags[start]:
+            runs.append((start, i, bool(flags[start])))
+            start = i
+    return runs
+
+
+@dataclass(frozen=True)
+class Condition:
+    """Observed-context conditioning data for reconstruction guidance.
+
+    Attributes:
+      lats: (B, flat_dim) flat latents holding the observed values.
+      mask: (B, flat_dim) 1.0 on conditioned entries.
+      dims: (B,) int dimension count of the conditioned state.
+    """
+
+    lats: jnp.ndarray
+    mask: jnp.ndarray
+    dims: jnp.ndarray
 
 
 @dataclass(frozen=True)
 class JumpSampler:
     config: object  # SamplerKwargs
 
-    def sample(self, model, params, template_state: StructuredState, key):
+    def sample(
+        self,
+        model,
+        params,
+        template_state: StructuredState,
+        key,
+        condition: Optional[Condition] = None,
+    ):
         """Sample from dims=1, x ~ N(0, I). Returns (final_state, nfe)."""
         cfg = self.config
-        if cfg.do_conditioning:
-            raise NotImplementedError(
-                "reconstruction-guidance conditioning is not wired yet"
+        if cfg.do_conditioning and condition is None:
+            raise ValueError(
+                "do_conditioning=True requires a Condition (observed lats/"
+                "mask/dims); the reference builds it via dataset_obj."
+                "condition_state (sampler.py:115)"
             )
+        if not cfg.do_conditioning:
+            condition = None
 
-        ts_arr, dt_arr, will_finish_arr, corrector_on_arr, finish_at = (
+        ts_arr, dt_arr, will_finish_arr, corrector_on_arr, _finish_at = (
             _build_time_grid(cfg)
         )
         T = len(ts_arr)
@@ -103,6 +153,73 @@ class JumpSampler:
 
         sample_near = bool(cfg.sample_near_atom)
 
+        def get_score(state, t_b, key_net):
+            """(score, rate_xt, mean_std): plain or reconstruction-guided
+            (reference: sampler.py:90-155)."""
+            if condition is None:
+                D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
+                    params,
+                    state,
+                    t_b,
+                    nearest_atom=None,
+                    sample_nearest_atom=sample_near,
+                    key=key_net,
+                    predict="eps",
+                )
+                _, std_p0t = noise_schedule.get_p0t_stats(
+                    state.get_flat_lats(), t_b
+                )
+                score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * D_eps
+                return score, rate_xt, mean_std
+
+            xt = state.get_flat_lats()
+
+            def weighted_l2(x_flat):
+                state_x = state.set_flat_lats(x_flat)
+                D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
+                    params,
+                    state_x,
+                    t_b,
+                    nearest_atom=None,
+                    sample_nearest_atom=sample_near,
+                    key=key_net,
+                    predict="eps",
+                )
+                x0_pred = noise_schedule.predict_x0_from_xt(x_flat, D_eps, t_b)
+                # project the conditioned entries of the x0 prediction into
+                # the conditioned state's geometry (CoM shift etc.)
+                cstate = state.set_flat_lats(
+                    condition.mask * x0_pred
+                ).delete_dims(condition.dims)
+                cstate, _ = adjust_state(cstate)
+                x0_of_cond = cstate.get_flat_lats()
+                l2 = jnp.sum(
+                    condition.mask * (x0_of_cond - condition.lats) ** 2, axis=1
+                )  # (B,)
+                alpha_t = noise_schedule.get_p0t_stats(
+                    jnp.ones_like(x_flat), t_b
+                )[0][:, 0]
+                weighted = -0.5 * cfg.guidance_weight * alpha_t * l2
+                return jnp.sum(weighted), (x0_pred, rate_xt, mean_std)
+
+            (_, (x0_pred, rate_xt, mean_std)), guidance_grad = (
+                jax.value_and_grad(weighted_l2, has_aux=True)(xt)
+            )
+
+            x0_adjusted = condition.mask * condition.lats + (
+                1.0 - condition.mask
+            ) * (x0_pred + guidance_grad)
+            astate = state.set_flat_lats(x0_adjusted).delete_dims(state.dims)
+            astate, _ = adjust_state(astate)
+            x0_with_condition = astate.get_flat_lats()
+
+            eps_pred = noise_schedule.predict_eps_from_x0_xt(
+                xt, x0_with_condition, t_b
+            )
+            _, std_p0t = noise_schedule.get_p0t_stats(xt, t_b)
+            score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * eps_pred
+            return score, rate_xt, mean_std
+
         def diffusion_and_jump(state, t_b, dt, will_finish, no_noise_gate, key):
             """One EM + birth move; returns new state."""
             B = state.B
@@ -111,17 +228,7 @@ class JumpSampler:
             beta_row = noise_schedule.get_beta_t(t_b)  # (B, N)
             beta = state.convert_problem_dim_to_tensor_dim(beta_row)  # (B, D)
 
-            D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
-                params,
-                state,
-                t_b,
-                nearest_atom=None,
-                sample_nearest_atom=sample_near,
-                key=key_net,
-                predict="eps",
-            )
-            _, std_p0t = noise_schedule.get_p0t_stats(state.get_flat_lats(), t_b)
-            score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * D_eps
+            score, rate_xt, mean_std = get_score(state, t_b, key_net)
 
             mask = state.get_mask_flat()
             xt = state.get_flat_lats()
@@ -157,132 +264,115 @@ class JumpSampler:
             state, _ = adjust_state(state)
             return state, rate_xt
 
-        no_noise_gate = 1.0 if cfg.no_noise_final_step and cfg.corrector_steps == 0 else 0.0
+        def corrector_move(state, t_b, dt, will_finish, key):
+            """Langevin corrector + optional jump corrector (birth & death)
+            (reference: sampler.py:258-312). Only traced inside
+            corrector-window segments — off-window steps never pay its
+            network evaluation."""
+            B = state.B
+            key_net, key_noise, key_bi, key_bn, key_di = jax.random.split(key, 5)
 
-        def step(carry, xs):
-            state, key = carry
-            t, dt, will_finish, corrector_on = xs
-            key, key_d = jax.random.split(key)
-            t_b = jnp.full((B,), t)
+            beta_row = noise_schedule.get_beta_t(t_b)
+            beta = state.convert_problem_dim_to_tensor_dim(beta_row)
 
-            state, rate_xt = diffusion_and_jump(
-                state, t_b, dt, will_finish, no_noise_gate, key_d
-            )
+            score, rate_xt, mean_std = get_score(state, t_b, key_net)
 
-            # --- corrector steps (static count, gated by the time window)
-            for _ in range(cfg.corrector_steps):
-                key, key_c = jax.random.split(key)
-                state = self._corrector_step(
-                    model,
-                    params,
-                    state,
-                    t_b - dt,
-                    dt,
-                    corrector_on,
-                    will_finish,
-                    key_c,
-                    sample_near,
-                    noise_schedule,
-                    forward_rate,
-                    max_problem_dim,
-                )
-
-            return (state, key), None
-
-        xs = (
-            jnp.asarray(ts_arr),
-            jnp.asarray(dt_arr),
-            jnp.asarray(will_finish_arr),
-            jnp.asarray(corrector_on_arr),
-        )
-        (state, _), _ = jax.lax.scan(step, (state, key), xs)
-
-        nfe = T * (1 + cfg.corrector_steps * int(corrector_on_arr.sum() > 0))
-        return state, nfe
-
-    def _corrector_step(
-        self,
-        model,
-        params,
-        state,
-        t_b,
-        dt,
-        active,
-        will_finish,
-        key,
-        sample_near,
-        noise_schedule,
-        forward_rate,
-        max_problem_dim,
-    ):
-        """Langevin corrector + optional jump corrector (birth & death),
-        applied only when `active` (reference: sampler.py:258-312)."""
-        cfg = self.config
-        B = state.B
-        key_net, key_noise, key_bi, key_bn, key_di = jax.random.split(key, 5)
-
-        beta_row = noise_schedule.get_beta_t(t_b)
-        beta = state.convert_problem_dim_to_tensor_dim(beta_row)
-
-        D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
-            params,
-            state,
-            t_b,
-            nearest_atom=None,
-            sample_nearest_atom=sample_near,
-            key=key_net,
-            predict="eps",
-        )
-        _, std_p0t = noise_schedule.get_p0t_stats(state.get_flat_lats(), t_b)
-        score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * D_eps
-
-        mask = state.get_mask_flat()
-        xt = state.get_flat_lats()
-
-        noise = jax.random.normal(key_noise, xt.shape)
-        noise_state = state.set_flat_lats(noise).delete_dims(state.dims)
-        noise_state, _ = adjust_state(noise_state)
-        noise = noise_state.get_flat_lats()
-
-        grad_norm = jnp.mean(jnp.linalg.norm(score, axis=-1))
-        noise_norm = jnp.mean(jnp.linalg.norm(noise, axis=-1))
-        alpha = 1.0 - dt * beta
-        step_size = (cfg.corrector_snr * noise_norm / jnp.maximum(grad_norm, 1e-12)) ** 2 * 2 * alpha
-
-        noise_gate = 1.0 - (1.0 if cfg.no_noise_final_step else 0.0) * will_finish
-        xt_new = xt + mask * (
-            step_size * score + noise_gate * jnp.sqrt(2.0 * step_size) * noise
-        )
-        xt = jnp.where(active > 0, xt_new, xt)
-        state = state.set_flat_lats(xt)
-        state, _ = adjust_state(state)
-
-        if cfg.do_jump_corrector:
-            # birth
-            u_b = jax.random.uniform(key_bi, (B,))
-            increase = (
-                (u_b < rate_xt[:, 0] * dt)
-                & (state.dims < max_problem_dim)
-                & (active > 0)
-            )
-            next_mask = state.get_next_dim_added_mask()
-            mean, std_raw = mean_std
-            std = jax.nn.softplus(std_raw)
-            new_values = next_mask * (
-                mean + jax.random.normal(key_bn, std.shape) * std
-            )
+            mask = state.get_mask_flat()
             xt = state.get_flat_lats()
-            xt_b = xt * (1.0 - next_mask) + new_values
-            xt = jnp.where(increase[:, None], xt_b, xt)
-            dims = state.dims + increase.astype(jnp.int32)
-            state = state.set_flat_lats(xt).replace(dims=dims)
 
-            # death
-            u_d = jax.random.uniform(key_di, (B,))
-            f_rate = forward_rate.get_rate(None, t_b)
-            decrease = (u_d < f_rate * dt) & (state.dims > 1) & (active > 0)
-            dims = state.dims - decrease.astype(jnp.int32)
-            state = state.delete_dims(dims)
+            noise = jax.random.normal(key_noise, xt.shape)
+            noise_state = state.set_flat_lats(noise).delete_dims(state.dims)
+            noise_state, _ = adjust_state(noise_state)
+            noise = noise_state.get_flat_lats()
+
+            grad_norm = jnp.mean(jnp.linalg.norm(score, axis=-1))
+            noise_norm = jnp.mean(jnp.linalg.norm(noise, axis=-1))
+            alpha = 1.0 - dt * beta
+            step_size = (
+                cfg.corrector_snr * noise_norm / jnp.maximum(grad_norm, 1e-12)
+            ) ** 2 * 2 * alpha
+
+            noise_gate = (
+                1.0 - (1.0 if cfg.no_noise_final_step else 0.0) * will_finish
+            )
+            xt = xt + mask * (
+                step_size * score + noise_gate * jnp.sqrt(2.0 * step_size) * noise
+            )
+            state = state.set_flat_lats(xt)
             state, _ = adjust_state(state)
 
-        return state
+            if cfg.do_jump_corrector:
+                # birth
+                u_b = jax.random.uniform(key_bi, (B,))
+                increase = (u_b < rate_xt[:, 0] * dt) & (
+                    state.dims < max_problem_dim
+                )
+                next_mask = state.get_next_dim_added_mask()
+                mean, std_raw = mean_std
+                std = jax.nn.softplus(std_raw)
+                new_values = next_mask * (
+                    mean + jax.random.normal(key_bn, std.shape) * std
+                )
+                xt = state.get_flat_lats()
+                xt_b = xt * (1.0 - next_mask) + new_values
+                xt = jnp.where(increase[:, None], xt_b, xt)
+                dims = state.dims + increase.astype(jnp.int32)
+                state = state.set_flat_lats(xt).replace(dims=dims)
+
+                # death
+                u_d = jax.random.uniform(key_di, (B,))
+                f_rate = forward_rate.get_rate(None, t_b)
+                decrease = (u_d < f_rate * dt) & (state.dims > 1)
+                dims = state.dims - decrease.astype(jnp.int32)
+                state = state.delete_dims(dims)
+                state, _ = adjust_state(state)
+
+            return state
+
+        no_noise_gate = (
+            1.0 if cfg.no_noise_final_step and cfg.corrector_steps == 0 else 0.0
+        )
+
+        def plain_step(carry, xs):
+            state, key = carry
+            t, dt, will_finish = xs
+            key, key_d = jax.random.split(key)
+            t_b = jnp.full((B,), t)
+            state, _ = diffusion_and_jump(
+                state, t_b, dt, will_finish, no_noise_gate, key_d
+            )
+            return (state, key), None
+
+        def corrected_step(carry, xs):
+            state, key = carry
+            t, dt, will_finish = xs
+            key, key_d = jax.random.split(key)
+            t_b = jnp.full((B,), t)
+            state, _ = diffusion_and_jump(
+                state, t_b, dt, will_finish, no_noise_gate, key_d
+            )
+            for _ in range(cfg.corrector_steps):
+                key, key_c = jax.random.split(key)
+                state = corrector_move(state, t_b - dt, dt, will_finish, key_c)
+            return (state, key), None
+
+        ts_j = jnp.asarray(ts_arr)
+        dt_j = jnp.asarray(dt_arr)
+        wf_j = jnp.asarray(will_finish_arr)
+
+        carry = (state, key)
+        nfe = 0
+        for seg_start, seg_end, has_corrector in _segments(corrector_on_arr):
+            xs = (
+                ts_j[seg_start:seg_end],
+                dt_j[seg_start:seg_end],
+                wf_j[seg_start:seg_end],
+            )
+            step_fn = corrected_step if has_corrector else plain_step
+            carry, _ = jax.lax.scan(step_fn, carry, xs)
+            nfe += (seg_end - seg_start) * (
+                1 + (cfg.corrector_steps if has_corrector else 0)
+            )
+
+        state, _ = carry
+        return state, nfe

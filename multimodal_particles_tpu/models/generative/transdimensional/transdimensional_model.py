@@ -357,9 +357,13 @@ class TransdimensionalJumpDiffusion:
 
     # -------------------------------------------------------------- sampling
 
-    def sample(self, params, key, template_state: StructuredState):
-        """Reverse-time jump-diffusion sampling from dims=1, x ~ N(0, I)."""
-        return self.sampler.sample(self, params, template_state, key)
+    def sample(self, params, key, template_state: StructuredState, condition=None):
+        """Reverse-time jump-diffusion sampling from dims=1, x ~ N(0, I).
+
+        `condition` (a sampler.Condition) enables reconstruction-guidance
+        conditioning when config.sampler_kwargs.do_conditioning is set
+        (reference: sampler.py:102-155)."""
+        return self.sampler.sample(self, params, template_state, key, condition)
 
     def predict(self, params, batch, key):
         """Trainer-compatible sampling entry: template shapes from batch."""

@@ -283,7 +283,37 @@ def test_sampler_corrector_and_c_schedule(datamodule):
     assert np.isfinite(np.asarray(final.continuous)).all()
 
 
-def test_sampler_conditioning_not_implemented(datamodule):
+def test_sampler_nfe_counts_actual_evaluations(datamodule):
+    """NFE equals the true forward count: one per step plus corrector_steps
+    per corrector-window step (reference counts per get_score call —
+    sampler.py:217,264)."""
+    cfg, dm = datamodule
+    import copy
+
+    from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
+        _build_time_grid,
+    )
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sampler_kwargs.dt = 0.1
+    cfg2.sampler_kwargs.corrector_steps = 2
+    cfg2.sampler_kwargs.corrector_start_time = 0.55
+    cfg2.sampler_kwargs.corrector_finish_time = 0.15
+
+    ts, _, _, corr_on, _ = _build_time_grid(cfg2.sampler_kwargs)
+    expected_nfe = len(ts) + 2 * int(corr_on.sum())
+    assert 0 < corr_on.sum() < len(ts)  # window is a strict subset
+
+    batch = next(iter(dm.train))
+    model = TransdimensionalJumpDiffusion(cfg2, dm)
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+    final, nfe = model.sample(params, jax.random.PRNGKey(1), state)
+    assert nfe == expected_nfe
+    assert np.isfinite(np.asarray(final.continuous)).all()
+
+
+def test_sampler_conditioning_requires_condition(datamodule):
     cfg, dm = datamodule
     import copy
 
@@ -293,5 +323,57 @@ def test_sampler_conditioning_not_implemented(datamodule):
     model = TransdimensionalJumpDiffusion(cfg2, dm)
     state = state_from_list_batch(batch)
     params = model.init(jax.random.PRNGKey(0), state)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         model.sample(params, jax.random.PRNGKey(1), state)
+
+
+def test_sampler_reconstruction_guidance(datamodule):
+    """Reconstruction-guidance conditioning: jit-able, finite, and the
+    guidance term changes the trajectory vs the unconditioned sampler
+    (reference: sampler.py:102-155)."""
+    cfg, dm = datamodule
+    import copy
+
+    from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
+        Condition,
+    )
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sampler_kwargs.dt = 0.125  # 8-step sampler: keep the test quick
+    cfg2.sampler_kwargs.do_conditioning = True
+    cfg2.sampler_kwargs.guidance_weight = 2.0
+
+    batch = next(iter(dm.train))
+    model = TransdimensionalJumpDiffusion(cfg2, dm)
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+
+    # condition on the first 3 particles of the data state
+    cond_dims = jnp.full((state.B,), 3, jnp.int32)
+    cond_mask = state.get_mask_flat(cond_dims)
+    cond_lats = state.get_flat_lats() * cond_mask
+    condition = Condition(lats=cond_lats, mask=cond_mask, dims=cond_dims)
+
+    key = jax.random.PRNGKey(5)
+    final_c, nfe = model.sample(params, key, state, condition)
+    assert np.isfinite(np.asarray(final_c.continuous)).all()
+    d = np.asarray(final_c.dims)
+    assert (d >= 1).all() and (d <= state.N).all()
+
+    # same PRNG key, no conditioning → different trajectory
+    cfg3 = copy.deepcopy(cfg2)
+    cfg3.sampler_kwargs.do_conditioning = False
+    model_u = TransdimensionalJumpDiffusion(cfg3, dm)
+    final_u, _ = model_u.sample(params, key, state)
+    diff = np.abs(
+        np.asarray(final_c.continuous) - np.asarray(final_u.continuous)
+    ).max()
+    assert diff > 1e-6, "guidance term did not change the trajectory"
+
+    # jit-ability and determinism of the conditioned sampler
+    jit_cont = jax.jit(
+        lambda p, k: model.sample(p, k, state, condition)[0].continuous
+    )(params, key)
+    np.testing.assert_allclose(
+        np.asarray(jit_cont), np.asarray(final_c.continuous), rtol=2e-4, atol=2e-4
+    )

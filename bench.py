@@ -22,7 +22,8 @@ import numpy as np
 BASELINE_JETS_PER_SEC_PER_CHIP = 1_000_000 / 60 / 8  # ≈ 2083.3
 
 
-def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm"):
+def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
+          num_particles: int = 128):
     from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
         JetsDataloaderModule,
     )
@@ -37,7 +38,7 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm")
 
         config = MultimodalBridgeMatchingConfig()
         config.data.batch_size = batch_size
-        config.data.max_num_particles = 128
+        config.data.max_num_particles = num_particles
         config.bridge.num_timesteps = num_timesteps
         config.parallel.compute_dtype = compute_dtype
         model = MultiModalBridgeMatching(config)
@@ -52,7 +53,7 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm")
 
         config = AbsorbingConfig()
         config.data.batch_size = batch_size
-        config.data.max_num_particles = 128
+        config.data.max_num_particles = num_particles
         config.bridge.num_timesteps = num_timesteps
         config.parallel.compute_dtype = compute_dtype
         model = AbsorbingFlow(config)
@@ -69,16 +70,16 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm")
 
         config = TransdimensionalEpicConfig()
         config.data.batch_size = batch_size
-        config.data.max_num_particles = 128
+        config.data.max_num_particles = num_particles
         config.sampler_kwargs.dt = 1.0 / num_timesteps
         model = TransdimensionalJumpDiffusion(config)
         rng = np.random.default_rng(0)
-        n_particles = rng.integers(1, 129, batch_size)
+        n_particles = rng.integers(1, num_particles + 1, batch_size)
         batch = [
             jnp.asarray(n_particles),
-            jnp.asarray(rng.standard_normal((batch_size, 128, 3)), jnp.float32),
+            jnp.asarray(rng.standard_normal((batch_size, num_particles, 3)), jnp.float32),
             jnp.asarray(
-                np.eye(8, dtype=np.float32)[rng.integers(0, 8, (batch_size, 128))]
+                np.eye(8, dtype=np.float32)[rng.integers(0, 8, (batch_size, num_particles))]
             ),
         ]
     else:
@@ -95,6 +96,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--particles", type=int, default=128,
+                    help="max_num_particles (109 = reference absorbing scale)")
     ap.add_argument(
         "--train", action="store_true", help="measure train steps/sec instead"
     )
@@ -111,7 +114,7 @@ def main():
 
     n_chips = jax.device_count()
     model, config, params, batch = build(
-        args.batch_size, args.steps, args.dtype, args.model
+        args.batch_size, args.steps, args.dtype, args.model, args.particles
     )
 
     if args.train:

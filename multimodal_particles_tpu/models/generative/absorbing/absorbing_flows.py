@@ -108,7 +108,10 @@ class AbsorbingGenerator(nn.Module):
         rate_emb = self.pre_rate_proj(h)
         return self.post_rate_proj(rate_emb)  # (B, N, 1)
 
-    def __call__(self, state: AbsorbingBridgeState, batch) -> OutputHeads:
+    def trunk_and_heads(self, state: AbsorbingBridgeState, batch):
+        """EPiC trunk + continuous/discrete heads; returns the trunk's local
+        hidden state so the survival head can run externally (the fused
+        Pallas path, ops/survival_pallas.py)."""
         net_out, net_last_layer = self.epic(
             state.time,
             state.continuous,
@@ -122,7 +125,13 @@ class AbsorbingGenerator(nn.Module):
         discrete_head = net_out[..., self.dim_features_continuous :]
         if self.config.encoder.add_discrete_head:
             discrete_head = self.discrete_head_mlp(discrete_head)
-        absorbing_head = self.absorbing_head(state, net_out, net_last_layer)
+        return continuous_head, discrete_head, net_last_layer
+
+    def __call__(self, state: AbsorbingBridgeState, batch) -> OutputHeads:
+        continuous_head, discrete_head, net_last_layer = self.trunk_and_heads(
+            state, batch
+        )
+        absorbing_head = self.absorbing_head(state, None, net_last_layer)
         return OutputHeads(continuous_head, discrete_head, absorbing_head)
 
 
@@ -152,6 +161,90 @@ class AbsorbingFlow:
         )
         gen_params = self.generator.init(key, state, batch)["params"]
         return {"generator": gen_params, "loss_weights": jnp.zeros(self.num_heads)}
+
+    def _pallas_enabled(self) -> bool:
+        from multimodal_particles_tpu.ops.survival_pallas import (
+            survival_pallas_supported,
+        )
+
+        flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
+        if flag is False:
+            return False
+        supported = survival_pallas_supported(self.config)
+        if flag == "auto":
+            return supported and jax.default_backend() != "cpu"
+        return bool(flag) and supported
+
+    def forward_sampling(self, params, state, batch) -> OutputHeads:
+        """Sampling-path forward: fused Pallas EPiC trunk (ops/epic_pallas.py,
+        jets padded to a lane multiple — exact, its reductions are masked) +
+        fused Pallas survival head (ops/survival_pallas.py) when supported —
+        the head alone is ~65% of the sampler step as separate XLA ops."""
+        if not self._pallas_enabled():
+            return self.forward(params, state, batch)
+        from multimodal_particles_tpu.ops.epic_pallas import (
+            epic_forward_pallas,
+            epic_pattern_supported,
+            pack_mbm_encoder_params,
+        )
+        from multimodal_particles_tpu.ops.survival_pallas import (
+            pack_survival_head_params,
+            project_time_embeddings,
+            survival_head_pallas,
+        )
+
+        gen_params = params["generator"]
+        interpret = jax.default_backend() == "cpu"
+        if epic_pattern_supported(self.config):
+            cfg_d, cfg_e = self.config.data, self.config.encoder
+            trunk_tree = {"epic": gen_params["epic"]}
+            if cfg_e.add_discrete_head:
+                trunk_tree["fc_layer"] = gen_params["discrete_head_mlp"]
+            packed_trunk = pack_mbm_encoder_params(
+                trunk_tree, cfg_e.num_blocks, cfg_d.dim_features_continuous
+            )
+            mask_f = state.mask_t.astype(state.continuous.dtype)
+            out, last = epic_forward_pallas(
+                packed_trunk,
+                state.time,
+                state.continuous,
+                state.discrete,
+                mask_f,
+                num_blocks=cfg_e.num_blocks,
+                use_skip=cfg_e.skip_connection,
+                add_discrete_head=cfg_e.add_discrete_head,
+                dim_c=cfg_d.dim_features_continuous,
+                vocab=cfg_d.vocab_size_features,
+                hidden=cfg_e.dim_hidden_local,
+                dim_emb_time=cfg_e.dim_emb_time,
+                output_hidden_local=True,
+                interpret=interpret,
+            )
+            continuous_head = out[..., : cfg_d.dim_features_continuous]
+            discrete_head = out[..., cfg_d.dim_features_continuous :]
+        else:
+            continuous_head, discrete_head, last = self.generator.apply(
+                {"params": gen_params},
+                state,
+                batch,
+                method=AbsorbingGenerator.trunk_and_heads,
+            )
+        gen_cfg = self.config.generator
+        packed = pack_survival_head_params(gen_params, gen_cfg.n_attn_blocks)
+        temb_proj = project_time_embeddings(
+            gen_params, state.time, gen_cfg.n_attn_blocks, gen_cfg.transformer_dim
+        )
+        absorbing_head = survival_head_pallas(
+            packed,
+            temb_proj,
+            last,
+            state.mask_t,
+            n_blocks=gen_cfg.n_attn_blocks,
+            n_heads=gen_cfg.n_heads,
+            transformer_dim=gen_cfg.transformer_dim,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return OutputHeads(continuous_head, discrete_head, absorbing_head)
 
     def forward(self, params, state, batch) -> OutputHeads:
         from multimodal_particles_tpu.utils.dtype import cast_floating, compute_dtype_of
@@ -259,7 +352,7 @@ class AbsorbingFlow:
             state = state.replace(
                 time=jnp.full((B, 1, 1), t, dtype=state.continuous.dtype)
             )
-            heads = self.forward(params, state, batch)
+            heads = self.forward_sampling(params, state, batch)
             state = self.bridge_absorbing.solver_step(key_m, state, heads, delta_t)
             state = self.bridge_continuous.solver_step(
                 None, state, heads, delta_t, multimodal=False

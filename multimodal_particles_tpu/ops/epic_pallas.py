@@ -236,17 +236,20 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
 
 def _epic_kernel(
     x_ref, k_ref, mask_ref, temb_ref, *rest,
-    TB, N, vocab, num_blocks, use_skip, add_discrete_head,
+    TB, N, vocab, num_blocks, use_skip, add_discrete_head, output_hidden,
 ):
     """Sampling-path kernel: shared forward math + output writes."""
-    w_refs, (out_c_ref, out_d_ref) = rest[:-2], rest[-2:]
+    n_outs = 3 if output_hidden else 2
+    w_refs, out_refs = rest[:-n_outs], rest[-n_outs:]
     W = _weights_dict([r[:] for r in w_refs])
     cont, disc, acts = _forward_acts(
         x_ref[:], k_ref[:], mask_ref[:], temb_ref[:], W,
         TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
     )
-    out_c_ref[:] = cont
-    out_d_ref[:] = disc if add_discrete_head else acts["disc_pre"]
+    out_refs[0][:] = cont
+    out_refs[1][:] = disc if add_discrete_head else acts["disc_pre"]
+    if output_hidden:
+        out_refs[2][:] = acts["h_final"]
 
 
 def _pick_tile(B):
@@ -260,7 +263,7 @@ def _pick_tile(B):
     jax.jit,
     static_argnames=(
         "num_blocks", "use_skip", "add_discrete_head", "dim_c", "vocab",
-        "hidden", "dim_emb_time", "interpret",
+        "hidden", "dim_emb_time", "output_hidden_local", "interpret",
     ),
 )
 def epic_forward_pallas(
@@ -277,6 +280,7 @@ def epic_forward_pallas(
     vocab,
     hidden,
     dim_emb_time,
+    output_hidden_local=False,
     interpret=False,
 ):
     """Fused EPiC forward.
@@ -288,9 +292,21 @@ def epic_forward_pallas(
       k:    (B, N, 1) tokens
       mask: (B, N, 1)
     Returns:
-      (B, N, dim_c + vocab) head outputs (continuous ‖ refined discrete).
+      (B, N, dim_c + vocab) head outputs (continuous ‖ refined discrete);
+      with output_hidden_local also the (B, N, hidden) trunk local state.
+
+    N that is not a lane multiple is zero-padded per jet up to the next
+    multiple of 128 — exact for the trunk because every cross-particle
+    reduction is masked (the padded slots carry mask 0) — and the outputs
+    are sliced back to N.
     """
-    B, N = x.shape[0], x.shape[1]
+    B, N_in = x.shape[0], x.shape[1]
+    N = ((N_in + 127) // 128) * 128
+    if N != N_in:
+        pad = ((0, 0), (0, N - N_in), (0, 0))
+        x = jnp.pad(x, pad)
+        k = jnp.pad(k, pad)
+        mask = jnp.pad(mask, pad)
     TB = _pick_tile(B)
     TBN = TB * N
 
@@ -315,6 +331,7 @@ def epic_forward_pallas(
         num_blocks=num_blocks,
         use_skip=use_skip,
         add_discrete_head=add_discrete_head,
+        output_hidden=output_hidden_local,
     )
 
     def lane_spec(d, block_lanes):
@@ -333,25 +350,37 @@ def epic_forward_pallas(
         lane_spec(dim_emb_time, TBN),  # tembT (per-particle lanes)
     ] + [full(w) for w in packed]
 
-    out_c, out_d = pl.pallas_call(
+    out_specs = [lane_spec(dim_c, TBN), lane_spec(vocab, TBN)]
+    out_shape = [
+        jax.ShapeDtypeStruct((dim_c, B * N), jnp.float32),
+        jax.ShapeDtypeStruct((vocab, B * N), jnp.float32),
+    ]
+    if output_hidden_local:
+        out_specs.append(lane_spec(hidden, TBN))
+        out_shape.append(jax.ShapeDtypeStruct((hidden, B * N), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(B // TB,),
         in_specs=in_specs,
-        out_specs=(lane_spec(dim_c, TBN), lane_spec(vocab, TBN)),
-        out_shape=(
-            jax.ShapeDtypeStruct((dim_c, B * N), jnp.float32),
-            jax.ShapeDtypeStruct((vocab, B * N), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(xT, kT, maskT, tembT, *packed)
 
-    out = jnp.concatenate([out_c, out_d], axis=0)  # (dim_c+vocab, B·N)
-    return out.T.reshape(B, N, dim_c + vocab).astype(x.dtype)
+    out = jnp.concatenate([outs[0], outs[1]], axis=0)  # (dim_c+vocab, B·N)
+    out = out.T.reshape(B, N, dim_c + vocab)[:, :N_in].astype(x.dtype)
+    if output_hidden_local:
+        hid = outs[2].T.reshape(B, N, hidden)[:, :N_in]
+        return out, hid
+    return out
 
 
-def mbm_pallas_supported(config) -> bool:
-    """The kernel covers the shipped MBM encoder pattern (the config-berlin /
-    config-nyc family); other embedding switches fall back to the flax path."""
+def epic_pattern_supported(config) -> bool:
+    """True when the encoder matches the kernel's covered pattern (the
+    config-berlin / config-nyc family); other embedding switches fall back
+    to the flax path. `epic_forward_pallas` itself handles any N by padding
+    jets to the next lane multiple (exact: trunk reductions are masked)."""
     e = config.encoder
     d = config.data
     return (
@@ -361,7 +390,12 @@ def mbm_pallas_supported(config) -> bool:
         and d.dim_context_continuous == 0
         and d.dim_context_discrete == 0
         and d.dim_features_discrete == 1
-        # the kernels' per-jet lane split (d, TB·N) -> (d, TB, N) is only a
-        # Mosaic-supported reshape when N is a lane multiple
-        and d.max_num_particles % 128 == 0
     )
+
+
+def mbm_pallas_supported(config) -> bool:
+    """Gate for the MBM fused paths (fully-fused sampler step + custom-VJP
+    training kernels), which additionally keep the telegraph/solver state in
+    lane layout: the per-jet lane split (d, TB·N) → (d, TB, N) is only a
+    Mosaic-supported reshape when N is a lane multiple."""
+    return epic_pattern_supported(config) and config.data.max_num_particles % 128 == 0

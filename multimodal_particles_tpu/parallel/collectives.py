@@ -57,8 +57,6 @@ def make_shard_map_train_step(model, tx, mesh, ema_decay=None, skip_nonfinite=Fa
     lets XLA derive (training/trainer.py). Provided as the explicit SPMD
     variant; numerically identical.
     """
-    from jax.experimental.shard_map import shard_map
-
     from multimodal_particles_tpu.training.trainer import TrainState
 
     def _step(state, key, batch):
@@ -109,11 +107,11 @@ def make_shard_map_train_step(model, tx, mesh, ema_decay=None, skip_nonfinite=Fa
         )
 
     state_specs = TrainState(step=P(), params=P(), opt_state=P(), ema_params=P())
-    mapped = shard_map(
+    mapped = jax.shard_map(
         _step,
         mesh=mesh,
         in_specs=(state_specs, P(), data_spec()),
         out_specs=(state_specs, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

@@ -80,16 +80,25 @@ def pad_to_multiple(batch, multiple: int):
     Padding REPLICATES the last sample rather than zero-filling: losses that
     follow the reference's unmasked reductions (e.g. the absorbing-flow CE,
     absorbing_flows.py:224-236) would otherwise average fake all-zero rows
-    into the final partial batch of every epoch."""
-    sizes = {np.asarray(v).shape[0] for v in jax.tree_util.tree_leaves(batch)}
-    assert len(sizes) == 1, f"inconsistent batch sizes {sizes}"
-    b = sizes.pop()
+    into the final partial batch of every epoch.
+
+    Leaves whose leading dim differs from the batch size (scalar context
+    fields, (1, d) global conditioning, 0-d metadata) pass through unchanged
+    — only per-sample arrays are padded."""
+    leaves = [np.asarray(v) for v in jax.tree_util.tree_leaves(batch)]
+    sizes = [v.shape[0] for v in leaves if v.ndim > 0]
+    if not sizes:
+        return batch, 0
+    # the batch size is the modal leading dim; anything else is context
+    b = max(set(sizes), key=sizes.count)
     target = ((b + multiple - 1) // multiple) * multiple
     if target == b:
         return batch, b
 
     def pad(x):
         x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] != b:
+            return x
         reps = [(0, target - b)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, reps, mode="edge")
 

@@ -311,12 +311,14 @@ class Trainer:
                 for i, batch in enumerate(datamodule.valid):
                     batch, _ = pad_to_multiple(batch, self.data_parallel)
                     batch = shard_batch(batch, self.mesh)
-                    # fold the batch index in: state.step is constant across
-                    # the epoch's validation, which would reuse identical
-                    # bridge times/noise for every batch
-                    m = self._eval_step(
-                        self.state, jax.random.fold_in(key, 7919 + i), batch
-                    )
+                    # validation keys: fold in BOTH the batch index (state.step
+                    # is constant across the epoch's validation, which would
+                    # reuse identical bridge times/noise for every batch) and
+                    # the epoch (otherwise every epoch scores the same bridge
+                    # draws, correlating the val-loss curve across epochs)
+                    val_key = jax.random.fold_in(key, 7919 + i)
+                    val_key = jax.random.fold_in(val_key, epoch)
+                    m = self._eval_step(self.state, val_key, batch)
                     val_losses.append(float(m["loss"]))
                 val_loss = float(np.mean(val_losses)) if val_losses else None
 

@@ -60,6 +60,88 @@ def test_two_prong_jet_has_small_tau2():
     assert abs(abs(axes2[1][0]) - 0.4) < 0.05
 
 
+def test_analytic_three_particle_goldens():
+    """Hand-derived goldens (VERDICT r1 #8): pins the observables to physics,
+    not merely numpy-vs-native agreement.
+
+    Jet: pts (2,1,1) at (eta,phi) = (0,0), (0,0.6), (0.6,0); R=0.8, beta=1.
+
+    Derivation (done by hand, independent of this module):
+      ECF:  z=(1/2,1/4,1/4); th12=th13=0.6, th23=0.6*sqrt(2)
+            e2 = 0.075+0.075+0.6*sqrt(2)/16 = 0.2030330086
+            e3 = (1/32)*0.36*0.6*sqrt(2)   = 0.0095459415
+            D2 = e3/e2^3                   = 1.1405617954
+      tau2: kt merges (p1,p2) first (d12=d13=0.5625 < d23=1.125);
+            E-scheme axis (0, atan2(sin .6, 2+cos .6)=0.1972510359);
+            tau2 = (2*0.19725 + 1*(0.6-0.19725) + 0)/3.2 = 0.2491409487
+      tau1: axis = total momentum direction (eta 0.1639118595,
+            phi 0.1465478051); tau1 = 0.4318637065
+    """
+    pt = np.array([2.0, 1.0, 1.0])
+    eta = np.array([0.0, 0.0, 0.6])
+    phi = np.array([0.0, 0.6, 0.0])
+    axes1, _ = exclusive_kt_axes(pt, eta, phi, 1)
+    axes2, _ = exclusive_kt_axes(pt, eta, phi, 2)
+    np.testing.assert_allclose(
+        nsubjettiness(pt, eta, phi, axes1), 0.4318637065371404, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        nsubjettiness(pt, eta, phi, axes2), 0.24914094871353507, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        d2_correlator(pt, eta, phi), 1.1405617953974279, rtol=1e-12
+    )
+    # the native kernel reproduces the same analytic values
+    mask = np.ones((1, 3), dtype=np.int64)
+    obs = substructure_observables(
+        pt[None], eta[None], phi[None], mask, use_native=True
+    )
+    np.testing.assert_allclose(obs["tau1"][0], 0.4318637065371404, rtol=1e-9)
+    np.testing.assert_allclose(obs["tau2"][0], 0.24914094871353507, rtol=1e-9)
+    np.testing.assert_allclose(obs["d2"][0], 1.1405617953974279, rtol=1e-9)
+
+
+# Frozen regression goldens: substructure_observables(use_native=False) on
+# _random_jets(B=20, N=64, seed=0), first five jets of each observable plus
+# the batch mean — committed 2026-08-16 so any future re-derivation drift in
+# either path is caught against a fixed fixture, not just cross-checked.
+_BATCH_GOLDENS = {
+    "tau1": [0.6999623993194589, 0.5718832652388275, 0.6770104082073068,
+             0.6085698692001081, 0.6664879361365839],
+    "tau2": [0.5556564884202817, 0.48456794242251006, 0.5016784752637611,
+             0.42166237497115744, 0.5502124872801762],
+    "tau3": [0.4292460503752721, 0.4052650347223626, 0.38747761568666367,
+             0.35288002571828136, 0.41937201069233665],
+    "tau21": [0.7938376246502967, 0.8473196749692384, 0.7410203287600602,
+              0.6928742225200566, 0.8255400547376461],
+    "tau32": [0.7725025430650662, 0.8363430578925901, 0.7723624488432447,
+              0.8368781438998892, 0.7622000961217484],
+    "d2": [1.4232280812853404, 1.5731738228606962, 1.411540708587518,
+           1.3400792134204706, 1.470563855787902],
+}
+_BATCH_GOLDEN_MEANS = {
+    "tau1": 0.6115475195373735, "tau2": 0.43345043359694274,
+    "tau3": 0.3390055229387315, "tau21": 0.7038735335525429,
+    "tau32": 0.7778266180442532, "d2": 1.4154321437738413,
+}
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_frozen_batch_goldens(use_native):
+    pt, eta, phi, mask = _random_jets()
+    obs = substructure_observables(pt, eta, phi, mask, use_native=use_native)
+    assert int(obs["selection"].sum()) == 20
+    rtol = 1e-10 if not use_native else 1e-6
+    for key, expected in _BATCH_GOLDENS.items():
+        np.testing.assert_allclose(
+            obs[key][:5], expected, rtol=rtol, err_msg=key
+        )
+        np.testing.assert_allclose(
+            float(np.nanmean(obs[key])), _BATCH_GOLDEN_MEANS[key],
+            rtol=rtol, err_msg=f"mean {key}",
+        )
+
+
 def test_d2_discriminates_two_prong():
     """D2 = ECF3·ECF1³/ECF2³ is LOW for genuine 2-prong structure and HIGH
     for 1-prong jets (the arXiv:1409.6298 discriminant behavior)."""

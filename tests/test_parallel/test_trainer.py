@@ -48,6 +48,22 @@ def test_pad_to_multiple():
     assert orig == 13 and padded.source_continuous.shape[0] == 16
 
 
+def test_pad_to_multiple_ragged_context():
+    """Non-per-sample leaves (global context, scalars) pass through unpadded
+    instead of tripping an assertion (VERDICT r1 weak #5)."""
+    batch = {
+        "x": np.ones((13, 4)),
+        "y": np.ones((13,)),
+        "global_context": np.ones((1, 8)),
+        "scale": np.float32(2.0),
+    }
+    padded, orig = pad_to_multiple(batch, 8)
+    assert orig == 13
+    assert padded["x"].shape == (16, 4) and padded["y"].shape == (16,)
+    assert padded["global_context"].shape == (1, 8)
+    assert padded["scale"].shape == ()
+
+
 def test_shard_batch_places_on_mesh():
     cfg = _tiny_config()
     mesh = make_device_mesh()

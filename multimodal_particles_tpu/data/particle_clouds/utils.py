@@ -160,18 +160,260 @@ def extract_aoj_features(dataset, **args):
     return continuous, discrete, mask
 
 
-def extract_jetclass_features(dataset, **args):
-    """JetClass `.root` extraction requires uproot, which is not available in
-    this environment; the AOJ path covers the shipped workloads. Raises with a
-    clear message (reference capability: utils.py:116-166)."""
+# --------------------------------------------------------------- JetClass
+#
+# JetClass record schema (reference: utils.py:15-29,116-166). One `.root`
+# shard holds a TTree named "tree" with ragged per-particle branches; the
+# ones this pipeline consumes are:
+#
+#   part_px, part_py, part_pz, part_energy   float  — particle 4-momentum
+#   part_isPhoton, part_isNeutralHadron,
+#   part_isChargedHadron, part_isElectron,
+#   part_isMuon                              0/1    — exclusive flavor flags
+#   part_charge                              -1/0/1 — electric charge
+#
+# Derived exactly as the reference's vector/awkward chain does:
+#   part_pt     = hypot(px, py)
+#   part_etarel = arcsinh(pz/pt) - jet_eta     (jet = Σ particle 4-momenta)
+#   part_phirel = wrap(atan2(py, px) - jet_phi)
+#
+# `uproot` is not installed in this environment, so the `.root` path is
+# gated: `convert_jetclass_root_to_h5` (or scripts/convert_jetclass.py)
+# converts a shard offline where uproot IS available, writing the padded
+# HDF5 layout below, which `extract_jetclass_features` reads natively:
+#
+#   /part_px, /part_py, /part_pz, /part_energy    (B, L) float32
+#   /part_isPhoton ... /part_isMuon               (B, L) uint8
+#   /part_charge                                  (B, L) int8
+#   /mask                                         (B, L) uint8   1 = real
+#   attrs: format_version = 1, tree = "tree", source = <root filename>
+JETCLASS_KINEMATIC_BRANCHES = ("part_px", "part_py", "part_pz", "part_energy")
+JETCLASS_FLAG_BRANCHES = (
+    "part_isPhoton",
+    "part_isNeutralHadron",
+    "part_isChargedHadron",
+    "part_isElectron",
+    "part_isMuon",
+)
+JETCLASS_H5_FORMAT_VERSION = 1
+
+
+def _jetclass_features_from_raw(px, py, pz, flags, charge, mask):
+    """Padded raw JetClass arrays → the FEATURE_ORDER dict (same contract as
+    read_aoj_file): relative kinematics against the summed jet momentum."""
+    mask = mask.astype(bool)
+    px = px * mask
+    py = py * mask
+    pz = pz * mask
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pt = np.hypot(px, py)
+        eta = np.arcsinh(np.where(pt > 0, pz / np.maximum(pt, 1e-30), 0.0))
+        phi = np.arctan2(py, px)
+        jet_px, jet_py, jet_pz = px.sum(1), py.sum(1), pz.sum(1)
+        jet_pt = np.hypot(jet_px, jet_py)
+        jet_eta = np.arcsinh(jet_pz / np.maximum(jet_pt, 1e-30))
+        jet_phi = np.arctan2(jet_py, jet_px)
+
+    out = {
+        "part_pt": pt * mask,
+        "part_etarel": np.nan_to_num(eta - jet_eta[:, None]) * mask,
+        "part_phirel": _wrap_phi(phi - jet_phi[:, None]) * mask,
+        "part_charge": charge * mask,
+        "mask": mask.astype(np.float64),
+    }
+    for i, name in enumerate(JETCLASS_FLAG_BRANCHES):
+        out[name] = flags[..., i] * mask
+    return out
+
+
+def validate_jetclass_h5(filepath):
+    """Check a converted JetClass `.h5` against the documented schema.
+
+    Returns (num_jets, max_len); raises ValueError on any contract breach.
+    """
+    required = (
+        JETCLASS_KINEMATIC_BRANCHES + JETCLASS_FLAG_BRANCHES + ("part_charge", "mask")
+    )
+    with h5py.File(filepath, "r") as f:
+        version = f.attrs.get("format_version")
+        if version != JETCLASS_H5_FORMAT_VERSION:
+            raise ValueError(
+                f"{filepath}: format_version {version!r} != "
+                f"{JETCLASS_H5_FORMAT_VERSION}"
+            )
+        missing = [k for k in required if k not in f]
+        if missing:
+            raise ValueError(f"{filepath}: missing datasets {missing}")
+        shape = f["part_px"].shape
+        if len(shape) != 2:
+            raise ValueError(f"{filepath}: part_px must be (B, L), got {shape}")
+        for k in required:
+            if f[k].shape != shape:
+                raise ValueError(
+                    f"{filepath}: {k} shape {f[k].shape} != {shape}"
+                )
+        flags = np.stack([f[k][:] for k in JETCLASS_FLAG_BRANCHES], axis=-1)
+        mask = f["mask"][:].astype(bool)
+        if not np.all(flags.sum(-1)[mask] == 1):
+            raise ValueError(f"{filepath}: flavor flags not exclusive one-hot")
+        if not np.isin(f["part_charge"][:][mask], (-1, 0, 1)).all():
+            raise ValueError(f"{filepath}: part_charge outside {{-1,0,1}}")
+    return shape
+
+
+def read_jetclass_h5(filepath):
+    """Load one converted JetClass shard (schema above) into the same
+    per-particle feature dict read_aoj_file produces."""
+    validate_jetclass_h5(filepath)
+    with h5py.File(filepath, "r") as f:
+        px = f["part_px"][:].astype(np.float64)
+        py = f["part_py"][:].astype(np.float64)
+        pz = f["part_pz"][:].astype(np.float64)
+        flags = np.stack(
+            [f[k][:].astype(np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
+        )
+        charge = f["part_charge"][:].astype(np.float64)
+        mask = f["mask"][:].astype(bool)
+    return _jetclass_features_from_raw(px, py, pz, flags, charge, mask)
+
+
+def read_jetclass_root(filepath):
+    """Load one raw JetClass `.root` shard (requires uproot)."""
     try:
-        import uproot  # noqa: F401
+        import uproot
     except ImportError as e:
         raise ImportError(
             "JetClass .root extraction requires `uproot`, which is not "
-            "installed. Use the AspenOpenJets (.h5) pipeline instead."
+            "installed here. Convert the shard offline with "
+            "scripts/convert_jetclass.py (where uproot is available) and "
+            "load the resulting .h5 instead."
         ) from e
-    raise NotImplementedError
+
+    tree = uproot.open(filepath)["tree"]
+    branches = tree.arrays(
+        list(
+            JETCLASS_KINEMATIC_BRANCHES
+            + JETCLASS_FLAG_BRANCHES
+            + ("part_charge",)
+        ),
+        library="np",
+    )
+    # ragged (object arrays of per-jet vectors) → padded + mask
+    ragged_px = branches["part_px"]
+    B = len(ragged_px)
+    L = max((len(v) for v in ragged_px), default=0)
+
+    def pad_branch(name, dtype):
+        out = np.zeros((B, L), dtype=dtype)
+        for b, v in enumerate(branches[name]):
+            out[b, : len(v)] = v
+        return out
+
+    px = pad_branch("part_px", np.float64)
+    py = pad_branch("part_py", np.float64)
+    pz = pad_branch("part_pz", np.float64)
+    flags = np.stack(
+        [pad_branch(k, np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
+    )
+    charge = pad_branch("part_charge", np.float64)
+    mask = np.zeros((B, L), dtype=bool)
+    for b, v in enumerate(ragged_px):
+        mask[b, : len(v)] = True
+    return _jetclass_features_from_raw(px, py, pz, flags, charge, mask)
+
+
+def convert_jetclass_root_to_h5(root_path, h5_path):
+    """Offline converter: one JetClass `.root` shard → the documented padded
+    `.h5` layout (run where uproot is installed; see schema comment above)."""
+    try:
+        import uproot
+    except ImportError as e:
+        raise ImportError(
+            "convert_jetclass_root_to_h5 requires `uproot`; run the "
+            "conversion on a machine where it is installed."
+        ) from e
+
+    tree = uproot.open(root_path)["tree"]
+    branches = tree.arrays(
+        list(
+            JETCLASS_KINEMATIC_BRANCHES
+            + JETCLASS_FLAG_BRANCHES
+            + ("part_charge",)
+        ),
+        library="np",
+    )
+    ragged = branches["part_px"]
+    B = len(ragged)
+    L = max((len(v) for v in ragged), default=0)
+    mask = np.zeros((B, L), dtype=np.uint8)
+    for b, v in enumerate(ragged):
+        mask[b, : len(v)] = 1
+
+    import os
+
+    with h5py.File(h5_path, "w") as f:
+        f.attrs["format_version"] = JETCLASS_H5_FORMAT_VERSION
+        f.attrs["tree"] = "tree"
+        f.attrs["source"] = os.path.basename(str(root_path))
+        for name in JETCLASS_KINEMATIC_BRANCHES:
+            out = np.zeros((B, L), dtype=np.float32)
+            for b, v in enumerate(branches[name]):
+                out[b, : len(v)] = v
+            f.create_dataset(name, data=out, compression="gzip")
+        for name in JETCLASS_FLAG_BRANCHES:
+            out = np.zeros((B, L), dtype=np.uint8)
+            for b, v in enumerate(branches[name]):
+                out[b, : len(v)] = v
+            f.create_dataset(name, data=out, compression="gzip")
+        charge = np.zeros((B, L), dtype=np.int8)
+        for b, v in enumerate(branches["part_charge"]):
+            charge[b, : len(v)] = v
+        f.create_dataset("part_charge", data=charge, compression="gzip")
+        f.create_dataset("mask", data=mask, compression="gzip")
+    return h5_path
+
+
+def extract_jetclass_features(dataset, **args):
+    """JetClass shard(s) → (continuous, discrete, mask) padded numpy arrays,
+    same contract as extract_aoj_features (reference: utils.py:116-166).
+
+    Accepts converted `.h5` shards natively; raw `.root` shards require
+    uproot (gated — convert offline with convert_jetclass_root_to_h5).
+    """
+    max_num_particles = args.get("max_num_particles", 128)
+    min_num_particles = args.get("min_num_particles", 0)
+    num_jets = args.get("num_jets", 100_000)
+
+    if isinstance(dataset, str):
+        dataset = [dataset]
+    all_feats, all_masks = [], []
+    for path in dataset:
+        if str(path).endswith(".root"):
+            d = read_jetclass_root(path)
+        elif ".h5" in str(path):
+            d = read_jetclass_h5(path)
+        else:
+            raise ValueError(
+                f"{path}: expected a JetClass .root shard or a converted .h5"
+            )
+        feats = np.stack([d[k] for k in FEATURE_ORDER], axis=-1)  # (B, L, 9)
+        feats, valid = _compact_pad(
+            feats, d["mask"] > 0, min_num_particles, max_num_particles
+        )
+        all_feats.append(feats)
+        all_masks.append(valid)
+    feats = np.concatenate(all_feats, axis=0)
+    masks = np.concatenate(all_masks, axis=0)
+
+    data = np.concatenate([feats, masks[:, :, None]], axis=-1)  # (B, N, 10)
+    idx = np.argsort(-data[..., 0], axis=1, kind="stable")
+    data = np.take_along_axis(data, idx[:, :, None], axis=1)
+    data = data[:num_jets].astype(np.float32)
+
+    continuous = data[..., :3]
+    discrete = data[..., 3:-1].astype(np.int64)
+    mask = data[..., -1:].astype(np.int64)
+    return continuous, discrete, mask
 
 
 def sample_noise(rng, noise="GaussNoise", **args):

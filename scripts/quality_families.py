@@ -1,0 +1,361 @@
+"""Quality artifacts for the absorbing and transdimensional families
+(VERDICT r1 #3): train each model on the AOJ-mini shard, generate at the
+config's sampler fidelity, and score the physics marginals — the absorbing
+family on its mask/multiplicity dynamics (that is its whole point,
+reference: models/generative/absorbing/absorbing_flows.py:255-320), the
+transdimensional family on the multiplicity distribution its birth jumps
+produce, scored against both the data and the `DistributionNodes` prior
+(reference: models/architectures/egnn/utils.py:1049-1086).
+
+  python scripts/quality_families.py --family absorbing \
+      --out benchmarks/quality_absorbing.json
+  python scripts/quality_families.py --family transdimensional \
+      --out benchmarks/quality_transdim.json
+
+Runs on the default platform (TPU when the axon tunnel is live); pass
+--platform cpu to force CPU.
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quality_parity import make_gen_databatch, score, state_to_cloud  # noqa: E402
+
+
+def _hist_kl(gen_counts, ref_counts, lo, hi):
+    """Symmetric-support integer-histogram KL(gen || ref) with add-eps
+    smoothing (for multiplicity distributions)."""
+    bins = np.arange(lo, hi + 2) - 0.5
+    p, _ = np.histogram(gen_counts, bins=bins, density=True)
+    q, _ = np.histogram(ref_counts, bins=bins, density=True)
+    p = p + 1e-8
+    q = q + 1e-8
+    p /= p.sum()
+    q /= q.sum()
+    return float(np.sum(p * np.log(p / q)))
+
+
+def run_absorbing(args):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu import test_resources_dir
+    from multimodal_particles_tpu.config_classes import AbsorbingConfig
+    from multimodal_particles_tpu.data.particle_clouds.jets import (
+        JetClassHighLevelFeatures,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        MultimodalDatabatch,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.particles import (
+        ParticleClouds,
+    )
+    from multimodal_particles_tpu.training.absorbing_experiment import (
+        AbsorbingExperiment,
+    )
+
+    config = AbsorbingConfig.from_yaml(
+        os.path.join(test_resources_dir, "configs_files", "config-absorbing-test.yaml")
+    )
+    config.data.num_jets = 100  # the bundled AOJ-mini shard
+    config.data.seed = args.seed
+    config.train.epochs = args.epochs
+    config.train.scheduler_params["T_max"] = args.epochs
+    if args.sampler_steps:
+        config.bridge.num_timesteps = args.sampler_steps
+
+    experiment = AbsorbingExperiment(config, experiment_dir=args.workdir)
+    t0 = time.time()
+    history = experiment.train()
+    train_s = time.time() - t0
+    final = history[-1]
+    print(f"[absorbing] trained {args.epochs} epochs in {train_s:.1f}s: "
+          f"train={final['train_loss']:.4f} val={final['val_loss']:.4f}")
+
+    config = experiment.config  # stats filled in by preprocessing
+    target = experiment.datamodule.dataclass.target
+
+    # generation sources: fresh noise, multiplicities from the data histogram
+    # (the reference generation protocol starts predict_step from
+    # batch.source_mask — absorbing_flows.py:303-320 — and the absorbing
+    # bridge then kills/creates particles along the trajectory)
+    src_kwargs = dict(config.data.__dict__)
+    src_kwargs.update(
+        num_jets=args.gen_jets,
+        target_multiplicity=target.multiplicity,
+        seed=args.seed + 1,
+    )
+    gen_src = ParticleClouds(dataset=config.data.source_name, **src_kwargs)
+    gen_src.preprocess(
+        output_continuous=config.data.source_preprocess_continuous,
+        output_discrete=config.data.source_preprocess_discrete,
+        stats=config.data.source_preprocess_stats,
+    )
+
+    model = experiment.model
+    trainer = experiment.trainer
+    params = (
+        trainer.state.ema_params
+        if trainer.state.ema_params is not None
+        else trainer.state.params
+    )
+    predict = jax.jit(model.predict)
+    key = jax.random.PRNGKey(args.seed + 2)
+    chunks = [
+        np.arange(i, min(i + args.gen_chunk, args.gen_jets))
+        for i in range(0, args.gen_jets, args.gen_chunk)
+    ]
+    outs = []
+    t0 = time.time()
+    for i, chunk in enumerate(chunks):
+        db = make_gen_databatch(MultimodalDatabatch, gen_src, chunk)
+        db = jax.tree_util.tree_map(jnp.asarray, db)
+        out = predict(params, db, jax.random.fold_in(key, i))
+        outs.append(jax.tree_util.tree_map(np.asarray, out))
+    gen_s = time.time() - t0
+    print(f"[absorbing] generated {args.gen_jets} jets in {gen_s:.1f}s")
+
+    mask_gen = np.concatenate([np.asarray(o.mask_t, np.int64) for o in outs])
+    gen_cloud = state_to_cloud(
+        np.concatenate([o.continuous for o in outs]),
+        np.concatenate([o.discrete for o in outs]),
+        mask_gen,
+        config.data.target_preprocess_stats,
+        ParticleClouds,
+    )
+
+    data_cloud = copy.deepcopy(target)
+    data_cloud.postprocess(
+        input_continuous=config.data.target_preprocess_continuous,
+        input_discrete=config.data.target_preprocess_discrete,
+        stats=config.data.target_preprocess_stats,
+    )
+    hl_data = JetClassHighLevelFeatures(data_cloud)
+    features = ["pt", "m", "eta", "phi", "multiplicity", "Q_total", "Q_jet"]
+    metrics = score(JetClassHighLevelFeatures(gen_cloud), hl_data, features)
+
+    # mask-dynamics specifics: the absorbing family's own observables
+    mult_gen = mask_gen[..., 0].sum(1)
+    mult_data = np.asarray(target.multiplicity).reshape(-1)
+    mult_init = np.asarray(gen_src.mask[..., 0].sum(1))
+    N = config.data.max_num_particles
+    # per-slot survival rate: P(slot alive) over pt-sorted slots
+    slot_gen = mask_gen[..., 0].mean(0)
+    slot_data = np.asarray(
+        experiment.datamodule.dataclass.target.mask[..., 0]
+    ).mean(0)
+    mask_metrics = {
+        "mult_mean_gen": round(float(mult_gen.mean()), 3),
+        "mult_std_gen": round(float(mult_gen.std()), 3),
+        "mult_mean_data": round(float(mult_data.mean()), 3),
+        "mult_std_data": round(float(mult_data.std()), 3),
+        "mult_mean_source_init": round(float(mult_init.mean()), 3),
+        "KL_mult_hist": round(_hist_kl(mult_gen, mult_data, 0, N), 4),
+        "KL_mult_hist_init": round(_hist_kl(mult_init, mult_data, 0, N), 4),
+        "slot_survival_L1": round(
+            float(np.abs(slot_gen - slot_data).mean()), 4
+        ),
+        "mask_changed_fraction": round(
+            float((mult_gen != mult_init).mean()), 4
+        ),
+    }
+
+    return {
+        "family": "absorbing",
+        "protocol": (
+            "AbsorbingFlow trained on the AOJ-mini shard "
+            "(config-absorbing-test); generation starts from fresh noise "
+            "clouds with source masks drawn from the data multiplicity "
+            "histogram (reference predict_step protocol) and the absorbing "
+            "bridge evolves the mask; gen-vs-data KL/W1 plus "
+            "mask/multiplicity dynamics observables"
+        ),
+        "config": "config-absorbing-test (AOJ mini, 100 jets)",
+        "epochs": args.epochs,
+        "sampler_steps": config.bridge.num_timesteps,
+        "gen_jets": args.gen_jets,
+        "final_train_loss": round(final["train_loss"], 4),
+        "final_val_loss": round(final["val_loss"], 4),
+        "train_wall_s": round(train_s, 1),
+        "gen_wall_s": round(gen_s, 1),
+        "metrics": metrics,
+        "mask_dynamics": mask_metrics,
+    }
+
+
+def run_transdimensional(args):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        DistributionNodes,
+    )
+    from multimodal_particles_tpu.training.transdimensional_experiment import (
+        TransdimensionalExperiment,
+    )
+
+    config = TransdimensionalEpicConfig()
+    config.data.num_jets = 100
+    if args.sampler_steps:
+        config.sampler_kwargs.dt = 1.0 / args.sampler_steps
+
+    experiment = TransdimensionalExperiment(config, experiment_dir=args.workdir)
+    t0 = time.time()
+    history = experiment.trainer.fit(
+        experiment.datamodule, epochs=args.epochs
+    )
+    train_s = time.time() - t0
+    final = history[-1]
+    print(f"[transdim] trained {args.epochs} epochs in {train_s:.1f}s: "
+          f"train={final['train_loss']:.4f}")
+
+    model = experiment.model
+    trainer = experiment.trainer
+    params = (
+        trainer.state.ema_params
+        if trainer.state.ema_params is not None
+        else trainer.state.params
+    )
+    # template batches from the loader; resample with fresh keys until
+    # gen_jets samples accumulated (the sampler only takes shapes from the
+    # template — trajectories start at dims=1, x ~ N(0, I))
+    batches = list(experiment.datamodule.train)
+    predict = jax.jit(model.predict)
+    key = jax.random.PRNGKey(args.seed + 2)
+    dims_gen, pt_gen = [], []
+    t0 = time.time()
+    n = 0
+    r = 0
+    while n < args.gen_jets:
+        for b in batches:
+            b = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if x is not None else None, b
+            )
+            out = predict(params, b, jax.random.fold_in(key, r))
+            r += 1
+            d = np.asarray(out.dims)
+            dims_gen.append(d)
+            x = np.asarray(out.continuous)  # standardized (B, N, 3)
+            alive = np.arange(x.shape[1])[None, :] < d[:, None]
+            pt_gen.append(x[..., 0][alive])
+            n += d.shape[0]
+            if n >= args.gen_jets:
+                break
+    gen_s = time.time() - t0
+    dims_gen = np.concatenate(dims_gen)[: args.gen_jets]
+    print(f"[transdim] generated {args.gen_jets} jets in {gen_s:.1f}s")
+
+    mult_data = np.asarray(
+        experiment.datamodule.dataset.target_mask[..., 0].sum(1)
+    ).astype(np.int64)
+    N = config.data.max_num_particles
+    hist = {int(k): int(v) for k, v in zip(*np.unique(mult_data, return_counts=True))}
+    prior = DistributionNodes(hist)
+    prior_key = jax.random.PRNGKey(args.seed + 3)
+    dims_prior = np.asarray(prior.sample(prior_key, args.gen_jets))
+
+    metrics = {
+        "mult_mean_gen": round(float(dims_gen.mean()), 3),
+        "mult_std_gen": round(float(dims_gen.std()), 3),
+        "mult_mean_data": round(float(mult_data.mean()), 3),
+        "mult_std_data": round(float(mult_data.std()), 3),
+        "KL_mult_gen_vs_data": round(_hist_kl(dims_gen, mult_data, 0, N), 4),
+        "KL_mult_gen_vs_prior": round(_hist_kl(dims_gen, dims_prior, 0, N), 4),
+        # mean prior log-likelihood of generated dims vs of the data's own
+        # multiplicities: how plausible the birth-jump counts are under the
+        # DistributionNodes prior the reference uses as its target
+        "prior_logp_gen": round(
+            float(np.mean(np.asarray(prior.log_prob(np.clip(dims_gen, 1, N))))), 4
+        ),
+        "prior_logp_data": round(
+            float(np.mean(np.asarray(prior.log_prob(mult_data)))), 4
+        ),
+        "W1_mult_gen_vs_data": round(_w1(dims_gen, mult_data), 4),
+    }
+    # constituent-pt marginal in standardized space (the transdim model
+    # trains/generates in preprocessed coordinates)
+    x_data = np.asarray(experiment.datamodule.dataset.target_continuous)
+    m_data = np.asarray(experiment.datamodule.dataset.target_mask[..., 0]) > 0
+    pt_data = x_data[..., 0][m_data]
+    pt_gen = np.concatenate(pt_gen)
+    metrics["W1_pt_standardized"] = round(_w1(pt_gen, pt_data), 4)
+    metrics["pt_mean_gen"] = round(float(pt_gen.mean()), 4)
+    metrics["pt_mean_data"] = round(float(pt_data.mean()), 4)
+
+    return {
+        "family": "transdimensional",
+        "protocol": (
+            "TransdimensionalJumpDiffusion trained on the AOJ-mini shard "
+            "(TransdimensionalEpicConfig defaults); sampling starts at "
+            "dims=1, x~N(0,I) and births particles via the learned jump "
+            "rate; the generated multiplicity distribution is scored "
+            "against the data histogram and the DistributionNodes prior"
+        ),
+        "config": "TransdimensionalEpicConfig (AOJ mini, 100 jets)",
+        "epochs": args.epochs,
+        "sampler_steps": int(round(1.0 / config.sampler_kwargs.dt)),
+        "gen_jets": args.gen_jets,
+        "final_train_loss": round(final["train_loss"], 4),
+        "train_wall_s": round(train_s, 1),
+        "gen_wall_s": round(gen_s, 1),
+        "metrics": metrics,
+    }
+
+
+def _w1(a, b):
+    """1-Wasserstein distance between two empirical samples via quantile
+    integration (no scipy on this box)."""
+    qs = np.linspace(0.0, 1.0, 1001)
+    return float(np.mean(np.abs(np.quantile(a, qs) - np.quantile(b, qs))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", required=True,
+                    choices=["absorbing", "transdimensional"])
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--gen-jets", type=int, default=4096)
+    ap.add_argument("--gen-chunk", type=int, default=1024)
+    ap.add_argument("--sampler-steps", type=int, default=None,
+                    help="override the config's sampler step count")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.workdir is None:
+        args.workdir = f"/tmp/quality_{args.family}_run"
+    if args.out is None:
+        short = "transdim" if args.family == "transdimensional" else args.family
+        args.out = os.path.join(REPO_ROOT, "benchmarks", f"quality_{short}.json")
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    runner = run_absorbing if args.family == "absorbing" else run_transdimensional
+    result = runner(args)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

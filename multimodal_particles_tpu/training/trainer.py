@@ -242,8 +242,13 @@ class Trainer:
             )
             return new_state, metrics
 
-        def eval_step(state: TrainState, key, batch):
-            step_key = jax.random.fold_in(key, state.step)
+        def eval_step(state: TrainState, key, batch, epoch, batch_idx):
+            # fold epoch AND batch index in HERE, inside the jit: state.step
+            # is constant across an epoch's validation (same bridge noise per
+            # batch) and a fixed per-batch key would correlate epochs; doing
+            # it host-side costs two ~100 ms axon dispatches per epoch
+            step_key = jax.random.fold_in(key, 7919 + batch_idx)
+            step_key = jax.random.fold_in(step_key, epoch)
             _, metrics = model.loss_fn(state.params, step_key, batch)
             return metrics
 
@@ -311,14 +316,7 @@ class Trainer:
                 for i, batch in enumerate(datamodule.valid):
                     batch, _ = pad_to_multiple(batch, self.data_parallel)
                     batch = shard_batch(batch, self.mesh)
-                    # validation keys: fold in BOTH the batch index (state.step
-                    # is constant across the epoch's validation, which would
-                    # reuse identical bridge times/noise for every batch) and
-                    # the epoch (otherwise every epoch scores the same bridge
-                    # draws, correlating the val-loss curve across epochs)
-                    val_key = jax.random.fold_in(key, 7919 + i)
-                    val_key = jax.random.fold_in(val_key, epoch)
-                    m = self._eval_step(self.state, val_key, batch)
+                    m = self._eval_step(self.state, key, batch, epoch, i)
                     val_losses.append(float(m["loss"]))
                 val_loss = float(np.mean(val_losses)) if val_losses else None
 

@@ -76,6 +76,9 @@ def run_absorbing(args):
         config.bridge.num_timesteps = args.sampler_steps
 
     experiment = AbsorbingExperiment(config, experiment_dir=args.workdir)
+    # skip per-epoch orbax checkpoints: this harness scores in-process and
+    # thousands of tiny-epoch best/last writes dominate the wall clock
+    experiment.trainer.files = None
     t0 = time.time()
     history = experiment.train()
     train_s = time.time() - t0
@@ -214,6 +217,7 @@ def run_transdimensional(args):
         config.sampler_kwargs.dt = 1.0 / args.sampler_steps
 
     experiment = TransdimensionalExperiment(config, experiment_dir=args.workdir)
+    experiment.trainer.files = None  # see absorbing note
     t0 = time.time()
     history = experiment.trainer.fit(
         experiment.datamodule, epochs=args.epochs
@@ -230,10 +234,17 @@ def run_transdimensional(args):
         if trainer.state.ema_params is not None
         else trainer.state.params
     )
-    # template batches from the loader; resample with fresh keys until
-    # gen_jets samples accumulated (the sampler only takes shapes from the
-    # template — trajectories start at dims=1, x ~ N(0, I))
-    batches = list(experiment.datamodule.train)
+    # the sampler only takes SHAPES from the template (trajectories start at
+    # dims=1, x ~ N(0, I)) — tile the first loader batch up to gen_chunk so
+    # generation runs in a few big jitted calls instead of many tiny ones
+    template = next(iter(experiment.datamodule.train))
+    reps = max(1, -(-args.gen_chunk // len(template[0])))
+    template = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.repeat(np.asarray(x), reps, axis=0))
+        if x is not None
+        else None,
+        template,
+    )
     predict = jax.jit(model.predict)
     key = jax.random.PRNGKey(args.seed + 2)
     dims_gen, pt_gen = [], []
@@ -241,20 +252,14 @@ def run_transdimensional(args):
     n = 0
     r = 0
     while n < args.gen_jets:
-        for b in batches:
-            b = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x) if x is not None else None, b
-            )
-            out = predict(params, b, jax.random.fold_in(key, r))
-            r += 1
-            d = np.asarray(out.dims)
-            dims_gen.append(d)
-            x = np.asarray(out.continuous)  # standardized (B, N, 3)
-            alive = np.arange(x.shape[1])[None, :] < d[:, None]
-            pt_gen.append(x[..., 0][alive])
-            n += d.shape[0]
-            if n >= args.gen_jets:
-                break
+        out = predict(params, template, jax.random.fold_in(key, r))
+        r += 1
+        d = np.asarray(out.dims)
+        dims_gen.append(d)
+        x = np.asarray(out.continuous)  # standardized (B, N, 3)
+        alive = np.arange(x.shape[1])[None, :] < d[:, None]
+        pt_gen.append(x[..., 0][alive])
+        n += d.shape[0]
     gen_s = time.time() - t0
     dims_gen = np.concatenate(dims_gen)[: args.gen_jets]
     print(f"[transdim] generated {args.gen_jets} jets in {gen_s:.1f}s")

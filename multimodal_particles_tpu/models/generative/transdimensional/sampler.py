@@ -157,6 +157,8 @@ class JumpSampler:
             """(score, rate_xt, mean_std): plain or reconstruction-guided
             (reference: sampler.py:90-155)."""
             if condition is None:
+                # fused Pallas forward (forward-only; the conditioned branch
+                # below differentiates through net_forward and stays flax)
                 D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
                     params,
                     state,
@@ -165,6 +167,7 @@ class JumpSampler:
                     sample_nearest_atom=sample_near,
                     key=key_net,
                     predict="eps",
+                    fused=True,
                 )
                 _, std_p0t = noise_schedule.get_p0t_stats(
                     state.get_flat_lats(), t_b

@@ -286,6 +286,181 @@ class TransdimensionalJumpDiffusion:
 
     # ---------------------------------------------------------------- forward
 
+    def _pallas_enabled(self) -> bool:
+        """Fused sampling forward gate: Pallas stacks cover the shipped head
+        family (lane-multiple channels, heads dividing channels) and the
+        trunk embedding pattern is the kernel-covered one."""
+        import jax as _jax
+
+        from multimodal_particles_tpu.ops.epic_pallas import epic_pattern_supported
+
+        enc = self.config.encoder
+        flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
+        if flag is False:
+            return False
+        supported = (
+            enc.transformer_dim % 128 == 0
+            and enc.transformer_dim % max(enc.n_heads, 1) == 0
+            and enc.n_attn_blocks >= 1
+            and epic_pattern_supported(self.config)
+        )
+        if flag == "auto":
+            return supported and _jax.default_backend() != "cpu"
+        return bool(flag) and supported
+
+    def _network_fused(
+        self, net_params, state, ts, nearest_atom, sample_nearest_atom, key,
+        interpret=False,
+    ):
+        """Fused-forward equivalent of TransdimensionalEPiC.__call__: Pallas
+        EPiC trunk + two fused gsdm stacks; the small head projections stay
+        in XLA. Sampling path only (no custom VJP) — parity-tested against
+        the flax module in tests/test_generative/test_transdimensional.py."""
+        from multimodal_particles_tpu.models.architectures.utils import (
+            get_timestep_embedding,
+        )
+        from multimodal_particles_tpu.ops.epic_pallas import (
+            epic_forward_pallas,
+            pack_mbm_encoder_params,
+        )
+        from multimodal_particles_tpu.ops.gsdm_stack_pallas import (
+            gsdm_stack_pallas,
+            pack_gsdm_stack_params,
+            stack_time_embeddings,
+        )
+
+        cfg_d, enc = self.config.data, self.config.encoder
+        B, N = state.B, state.N
+        Dc, V = cfg_d.dim_features_continuous, cfg_d.vocab_size_features
+        C = enc.transformer_dim
+        x = state.continuous
+        node_mask = state.particle_mask()[:, :, None]
+        tokens = jnp.argmax(state.discrete, axis=-1)[..., None]
+
+        # --- trunk (fused)
+        packed_trunk = pack_mbm_encoder_params(
+            {"epic": net_params["epic"]}, enc.num_blocks, Dc
+        )
+        net_out, net_last_layer = epic_forward_pallas(
+            packed_trunk,
+            ts.reshape(B, 1, 1),
+            x,
+            tokens,
+            node_mask.astype(x.dtype),
+            num_blocks=enc.num_blocks,
+            use_skip=enc.skip_connection,
+            add_discrete_head=False,
+            dim_c=Dc,
+            vocab=V,
+            hidden=enc.dim_hidden_local,
+            dim_emb_time=enc.dim_emb_time,
+            output_hidden_local=True,
+            interpret=interpret,
+        )
+        x_out = net_out[:, :, :Dc]
+        onehot_out = net_out[:, :, Dc:]
+        D_xt = jnp.concatenate(
+            [x_out.reshape(B, -1), onehot_out.reshape(B, -1)], axis=1
+        )
+
+        temb = get_timestep_embedding(ts * 1000.0, C)
+        temb = temb @ net_params["temb_net"]["kernel"] + net_params["temb_net"]["bias"]
+
+        n_blocks = enc.n_attn_blocks
+        res_p = [net_params[f"res_{i}"] for i in range(n_blocks)]
+        attn_p = [net_params[f"attn_{i}"] for i in range(n_blocks)]
+
+        # --- rate / nearest-atom head (fused stack)
+        h_in = jnp.concatenate([net_last_layer, state.discrete], axis=-1)
+        h = gsdm_stack_pallas(
+            pack_gsdm_stack_params(net_params["transformer_1_proj_in"], res_p, attn_p),
+            stack_time_embeddings(temb, res_p),
+            h_in,
+            n_blocks=n_blocks,
+            n_heads=enc.n_heads,
+            transformer_dim=C,
+            interpret=interpret,
+        )
+
+        def dense(p, a):
+            return a @ p["kernel"] + p["bias"]
+
+        rate_emb = dense(net_params["pre_rate_proj"], h)
+        rate_emb = jnp.mean(rate_emb, axis=1)
+        rate_emb = dense(net_params["post_rate_proj"], rate_emb)
+        near_atom_logits = dense(net_params["near_atom_proj"], h)[:, :, 0]
+
+        if sample_nearest_atom:
+            assert key is not None, "sampling the nearest atom needs a PRNG key"
+            nearest_atom = jax.random.categorical(key, near_atom_logits, axis=1)
+        nearest_atom = nearest_atom.astype(jnp.int32)
+
+        # --- creation (vector) head (fused stack)
+        batch_idx = jnp.arange(B)
+        nearest_pos = x[batch_idx, nearest_atom, :]
+        distances = jnp.sqrt(
+            jnp.sum((nearest_pos[:, None, :] - x) ** 2, axis=-1, keepdims=True)
+        )
+        nearest_one_hot = jnp.zeros((B, N, 2)).at[:, :, 1].set(1.0)
+        nearest_one_hot = nearest_one_hot.at[batch_idx, nearest_atom, 0].set(1.0)
+        nearest_one_hot = nearest_one_hot.at[batch_idx, nearest_atom, 1].set(0.0)
+
+        vec_in = jnp.concatenate(
+            [net_last_layer, state.discrete, distances, nearest_one_hot], axis=-1
+        )
+        vec_in = vec_in * node_mask
+        vres_p = [net_params[f"vec_res_{i}"] for i in range(n_blocks)]
+        vattn_p = [net_params[f"vec_attn_{i}"] for i in range(n_blocks)]
+        h_vec = gsdm_stack_pallas(
+            pack_gsdm_stack_params(
+                net_params["vec_transformer_in_proj"], vres_p, vattn_p
+            ),
+            stack_time_embeddings(temb, vres_p),
+            vec_in,
+            n_blocks=n_blocks,
+            n_heads=enc.n_heads,
+            transformer_dim=C,
+            interpret=interpret,
+        )
+
+        vec_weights = dense(net_params["vec_weighting_proj"], h_vec)
+        vectors = (nearest_pos[:, None, :] - x) * node_mask
+        vectors = vectors / (
+            jnp.sqrt(jnp.sum(vectors**2, axis=-1, keepdims=True)) + 1e-3
+        )
+        auto_pos_mean = nearest_pos + jnp.sum(vec_weights * vectors, axis=1)
+
+        pre_auto_h = jnp.mean(dense(net_params["pre_auto_proj"], h_vec), axis=1)
+        post_auto_h = dense(net_params["post_auto_proj"], pre_auto_h)
+
+        pos_std = jnp.broadcast_to(post_auto_h[:, 0:1], (B, Dc))
+        atom_type_mean = post_auto_h[:, 1 : 1 + V]
+        atom_type_std = post_auto_h[:, 1 + V : 1 + 2 * V]
+
+        auto_mean = jnp.concatenate(
+            [
+                jnp.broadcast_to(auto_pos_mean[:, None, :], (B, N, Dc)).reshape(B, -1),
+                jnp.broadcast_to(atom_type_mean[:, None, :], (B, N, V)).reshape(B, -1),
+            ],
+            axis=1,
+        )
+        auto_std = jnp.concatenate(
+            [
+                jnp.broadcast_to(pos_std[:, None, :], (B, N, Dc)).reshape(B, -1),
+                jnp.broadcast_to(atom_type_std[:, None, :], (B, N, V)).reshape(B, -1),
+            ],
+            axis=1,
+        )
+        auto_mask = state.get_next_dim_added_mask()
+        return (
+            D_xt,
+            rate_emb,
+            near_atom_logits,
+            auto_mask * auto_mean,
+            auto_mask * auto_std,
+            nearest_atom,
+        )
+
     def net_forward(
         self,
         params,
@@ -295,12 +470,17 @@ class TransdimensionalJumpDiffusion:
         sample_nearest_atom=False,
         key=None,
         predict="eps",
+        fused=False,
     ):
         """Network + eps/x0 preconditioning + reverse-rate computation.
 
         Returns (D, rate (B,1), (auto_mean, auto_std_raw), x0_dim_logits,
         near_atom_logits, nearest_atom_used) — the reference net tuple
         (transdimensional_model.py:426) plus the sampled nearest atom.
+
+        fused=True routes through the Pallas sampling forward
+        (_network_fused) when supported — forward-only, so the sampler uses
+        it on the unconditioned path but never under jax.grad.
         """
         B = state.B
         if nearest_atom is None and not sample_nearest_atom:
@@ -308,16 +488,24 @@ class TransdimensionalJumpDiffusion:
         if nearest_atom is None:
             nearest_atom = jnp.zeros((B,), jnp.int32)
 
-        D_eps, rate_emb, near_atom_logits, auto_mean, auto_std, nearest_used = (
-            self.network.apply(
-                {"params": params["network"]},
-                state,
-                ts,
-                nearest_atom,
-                sample_nearest_atom,
-                key,
+        if fused and self._pallas_enabled():
+            D_eps, rate_emb, near_atom_logits, auto_mean, auto_std, nearest_used = (
+                self._network_fused(
+                    params["network"], state, ts, nearest_atom,
+                    sample_nearest_atom, key,
+                )
             )
-        )
+        else:
+            D_eps, rate_emb, near_atom_logits, auto_mean, auto_std, nearest_used = (
+                self.network.apply(
+                    {"params": params["network"]},
+                    state,
+                    ts,
+                    nearest_atom,
+                    sample_nearest_atom,
+                    key,
+                )
+            )
 
         max_dim = self.config.data.max_num_particles
         if self.config.encoder.rate_use_x0_pred:

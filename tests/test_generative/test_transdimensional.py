@@ -225,6 +225,40 @@ def test_net_forward_shapes(model_and_batch):
     assert (np.asarray(rate) >= 0).all()
 
 
+def test_fused_network_matches_flax():
+    """The Pallas sampling forward (_network_fused, interpret mode) must
+    reproduce the flax TransdimensionalEPiC at production head width."""
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.return_type = "list"
+    cfg.data.max_num_particles = 24
+    model = TransdimensionalJumpDiffusion(cfg)
+
+    B, N = 2, cfg.data.max_num_particles
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dims = jnp.asarray([5, 17], jnp.int32)
+    state = StructuredState(
+        continuous=jax.random.normal(k1, (B, N, 3)),
+        discrete=jax.random.normal(k2, (B, N, 8)),
+        dims=dims,
+    ).delete_dims(dims)
+    params = model.init(k3, state)
+    ts = jnp.asarray([0.3, 0.8])
+    nearest = jnp.asarray([1, 4], jnp.int32)
+
+    expected = model.network.apply(
+        {"params": params["network"]}, state, ts, nearest, False, None
+    )
+    got = model._network_fused(
+        params["network"], state, ts, nearest, False, None, interpret=True
+    )
+    names = ("D_xt", "rate_emb", "near_logits", "auto_mean", "auto_std", "nearest")
+    for name, e, g in zip(names, expected, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=5e-4, err_msg=name
+        )
+
+
 def test_loss_finite_and_grads(model_and_batch):
     """The reference skips its loss test ('NOT FINISHED PROBLEM WITH
     INTERPOLATION TO ONE PARTICLE'); the mask-based rebuild runs it."""

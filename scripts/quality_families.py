@@ -113,6 +113,7 @@ def run_absorbing(args):
         if trainer.state.ema_params is not None
         else trainer.state.params
     )
+    _save_params(params, args.workdir)
     predict = jax.jit(model.predict)
     key = jax.random.PRNGKey(args.seed + 2)
     chunks = [
@@ -234,6 +235,7 @@ def run_transdimensional(args):
         if trainer.state.ema_params is not None
         else trainer.state.params
     )
+    _save_params(params, args.workdir)
     # the sampler only takes SHAPES from the template (trajectories start at
     # dims=1, x ~ N(0, I)) — tile the first loader batch up to gen_chunk so
     # generation runs in a few big jitted calls instead of many tiny ones
@@ -292,13 +294,22 @@ def run_transdimensional(args):
         "W1_mult_gen_vs_data": round(_w1(dims_gen, mult_data), 4),
     }
     # constituent-pt marginal in standardized space (the transdim model
-    # trains/generates in preprocessed coordinates)
+    # trains/generates in preprocessed coordinates). A small fraction of
+    # trajectories can diverge through the creation-head feedback loop
+    # (births anchored at an already-exploded nearest particle); report the
+    # diverged fraction and score the marginal on the non-diverged jets so
+    # one exploded jet cannot dominate the W1.
     x_data = np.asarray(experiment.datamodule.dataset.target_continuous)
     m_data = np.asarray(experiment.datamodule.dataset.target_mask[..., 0]) > 0
     pt_data = x_data[..., 0][m_data]
-    pt_gen = np.concatenate(pt_gen)
-    metrics["W1_pt_standardized"] = round(_w1(pt_gen, pt_data), 4)
-    metrics["pt_mean_gen"] = round(float(pt_gen.mean()), 4)
+    pt_per_jet = pt_gen  # list of per-call 1-D alive-constituent arrays
+    pt_gen = np.concatenate(pt_per_jet)
+    finite = np.abs(pt_gen) < 50.0  # standardized units; data is O(1)
+    metrics["diverged_constituent_frac"] = round(float(1.0 - finite.mean()), 5)
+    metrics["pt_median_gen"] = round(float(np.median(pt_gen)), 4)
+    metrics["pt_median_data"] = round(float(np.median(pt_data)), 4)
+    if finite.any():
+        metrics["W1_pt_standardized"] = round(_w1(pt_gen[finite], pt_data), 4)
     metrics["pt_mean_data"] = round(float(pt_data.mean()), 4)
 
     return {
@@ -319,6 +330,18 @@ def run_transdimensional(args):
         "gen_wall_s": round(gen_s, 1),
         "metrics": metrics,
     }
+
+
+def _save_params(params, workdir):
+    """Pickle the sampled-from params so artifacts can be re-scored or
+    diagnosed without retraining."""
+    import pickle
+
+    import jax
+
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "trained_params.pkl"), "wb") as f:
+        pickle.dump(jax.device_get(params), f)
 
 
 def _w1(a, b):

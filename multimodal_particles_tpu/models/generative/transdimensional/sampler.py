@@ -123,8 +123,13 @@ class JumpSampler:
         template_state: StructuredState,
         key,
         condition: Optional[Condition] = None,
+        collect_diagnostics: bool = False,
     ):
-        """Sample from dims=1, x ~ N(0, I). Returns (final_state, nfe)."""
+        """Sample from dims=1, x ~ N(0, I). Returns (final_state, nfe), or
+        (final_state, nfe, diag) with collect_diagnostics=True, where diag
+        holds per-step trajectory scalars stacked over the time grid
+        (ts, max_abs_x, mean_dims, birth_frac, rate_mean) — cheap scan
+        outputs for divergence/calibration analysis."""
         cfg = self.config
         if cfg.do_conditioning and condition is None:
             raise ValueError(
@@ -224,7 +229,7 @@ class JumpSampler:
             return score, rate_xt, mean_std
 
         def diffusion_and_jump(state, t_b, dt, will_finish, no_noise_gate, key):
-            """One EM + birth move; returns new state."""
+            """One EM + birth move; returns (new state, per-step diagnostics)."""
             B = state.B
             key_net, key_noise, key_jump, key_new = jax.random.split(key, 4)
 
@@ -265,7 +270,15 @@ class JumpSampler:
 
             state = state.set_flat_lats(xt).delete_dims(new_dims)
             state, _ = adjust_state(state)
-            return state, rate_xt
+            diag = {
+                "max_abs_x": jnp.max(
+                    jnp.abs(state.get_flat_lats() * state.get_mask_flat())
+                ),
+                "mean_dims": jnp.mean(new_dims.astype(jnp.float32)),
+                "birth_frac": jnp.mean(increase.astype(jnp.float32)),
+                "rate_mean": jnp.mean(rate_xt[:, 0]),
+            }
+            return state, diag
 
         def corrector_move(state, t_b, dt, will_finish, key):
             """Langevin corrector + optional jump corrector (birth & death)
@@ -341,23 +354,23 @@ class JumpSampler:
             t, dt, will_finish = xs
             key, key_d = jax.random.split(key)
             t_b = jnp.full((B,), t)
-            state, _ = diffusion_and_jump(
+            state, diag = diffusion_and_jump(
                 state, t_b, dt, will_finish, no_noise_gate, key_d
             )
-            return (state, key), None
+            return (state, key), (diag if collect_diagnostics else None)
 
         def corrected_step(carry, xs):
             state, key = carry
             t, dt, will_finish = xs
             key, key_d = jax.random.split(key)
             t_b = jnp.full((B,), t)
-            state, _ = diffusion_and_jump(
+            state, diag = diffusion_and_jump(
                 state, t_b, dt, will_finish, no_noise_gate, key_d
             )
             for _ in range(cfg.corrector_steps):
                 key, key_c = jax.random.split(key)
                 state = corrector_move(state, t_b - dt, dt, will_finish, key_c)
-            return (state, key), None
+            return (state, key), (diag if collect_diagnostics else None)
 
         ts_j = jnp.asarray(ts_arr)
         dt_j = jnp.asarray(dt_arr)
@@ -365,6 +378,7 @@ class JumpSampler:
 
         carry = (state, key)
         nfe = 0
+        diags = []
         for seg_start, seg_end, has_corrector in _segments(corrector_on_arr):
             xs = (
                 ts_j[seg_start:seg_end],
@@ -372,10 +386,18 @@ class JumpSampler:
                 wf_j[seg_start:seg_end],
             )
             step_fn = corrected_step if has_corrector else plain_step
-            carry, _ = jax.lax.scan(step_fn, carry, xs)
+            carry, ys = jax.lax.scan(step_fn, carry, xs)
             nfe += (seg_end - seg_start) * (
                 1 + (cfg.corrector_steps if has_corrector else 0)
             )
+            if collect_diagnostics:
+                diags.append(ys)
 
         state, _ = carry
+        if collect_diagnostics:
+            diag = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *diags
+            )
+            diag["ts"] = ts_j
+            return state, nfe, diag
         return state, nfe

@@ -545,13 +545,19 @@ class TransdimensionalJumpDiffusion:
 
     # -------------------------------------------------------------- sampling
 
-    def sample(self, params, key, template_state: StructuredState, condition=None):
+    def sample(self, params, key, template_state: StructuredState, condition=None,
+               collect_diagnostics=False):
         """Reverse-time jump-diffusion sampling from dims=1, x ~ N(0, I).
 
         `condition` (a sampler.Condition) enables reconstruction-guidance
         conditioning when config.sampler_kwargs.do_conditioning is set
-        (reference: sampler.py:102-155)."""
-        return self.sampler.sample(self, params, template_state, key, condition)
+        (reference: sampler.py:102-155). `collect_diagnostics=True` adds a
+        third return value of per-step trajectory scalars (see
+        JumpSampler.sample)."""
+        return self.sampler.sample(
+            self, params, template_state, key, condition,
+            collect_diagnostics=collect_diagnostics,
+        )
 
     def predict(self, params, batch, key):
         """Trainer-compatible sampling entry: template shapes from batch."""

@@ -287,6 +287,27 @@ def test_sampler_smoke(model_and_batch):
     assert (np.asarray(mask.sum(1))[:, 0] == d).all()
 
 
+def test_sampler_diagnostics(model_and_batch):
+    cfg, model, params, state = model_and_batch
+    final, nfe, diag = model.sample(
+        params, jax.random.PRNGKey(2), state, collect_diagnostics=True
+    )
+    T = diag["ts"].shape[0]
+    for k in ("max_abs_x", "mean_dims", "birth_frac", "rate_mean"):
+        assert diag[k].shape == (T,)
+        assert np.isfinite(np.asarray(diag[k])).all()
+    # the diagnostics branch must not change the sampled trajectory
+    final_plain, nfe_plain = model.sample(params, jax.random.PRNGKey(2), state)
+    assert nfe_plain == nfe
+    np.testing.assert_allclose(
+        np.asarray(final_plain.continuous), np.asarray(final.continuous)
+    )
+    # dims grow from 1 -> mean_dims is monotone-ish; last entry matches final
+    np.testing.assert_allclose(
+        float(diag["mean_dims"][-1]), float(np.mean(np.asarray(final.dims)))
+    )
+
+
 def test_sampler_corrector_and_c_schedule(datamodule):
     """Exercise the Langevin corrector, the jump corrector (birth & death)
     and the two-level 'C' dt schedule (reference: sampler.py:79-88,258-312)."""

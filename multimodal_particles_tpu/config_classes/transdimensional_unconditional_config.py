@@ -77,6 +77,16 @@ class LossKwargs:
     vp_sde_beta_min: float = 0.1
     loss_type: str = "eps"
     rate_cut_t: float = 0.1
+    # "live" divides each sample's score-matching error by its number of
+    # LIVE flat entries instead of the full flat dimension ("dims", the
+    # reference behavior). Under the reference's /D normalization a
+    # dims=1 sample contributes ~1/(N·(Dc+V)/(Dc+V)) = 1/N of the score
+    # gradient of a full jet, so the eps head never learns the dims=1
+    # states the reverse sampler STARTS in and trajectories diverge from
+    # step one (the reference's own loss test is skipped with "PROBLEM
+    # WITH INTERPOLATION TO ONE PARTICLE" — tests/test_generative/
+    # test_transdimensional.py:112).
+    score_loss_normalization: str = "live"
 
 
 @dataclass

@@ -70,6 +70,12 @@ class JumpLossFinalDim:
     mean_or_sum_over_dim: str
     nearest_atom_pred: bool
     nearest_atom_loss_weight: float
+    # "dims" = reference normalization (score error effectively / full flat
+    # dim D); "live" divides each sample's score error by its live-entry
+    # count so low-dims samples keep full gradient weight — see
+    # LossKwargs.score_loss_normalization for why the reference's choice
+    # breaks the dims=1 regime the reverse sampler starts in.
+    score_loss_normalization: str = "dims"
 
     def __call__(self, model, params, st_state: StructuredState, key):
         key_noise, key_net = jax.random.split(key)
@@ -117,6 +123,13 @@ class JumpLossFinalDim:
             vp_alpha = jnp.sqrt(1.0 - vp_sigma**2)
             ve_sigma = vp_sigma / vp_alpha
             score_loss = score_loss * (ve_sigma**2 + 1.0) / ve_sigma**2
+        if self.score_loss_normalization == "live":
+            # rescale so the downstream Σ_D (… /D) gives a per-LIVE-entry
+            # mean: low-dims samples keep full score gradient weight
+            live = jnp.maximum(jnp.sum(D_mask, axis=1, keepdims=True), 1.0)
+            score_loss = score_loss * (D_mask.shape[1] / live)
+        elif self.score_loss_normalization != "dims":
+            raise ValueError(self.score_loss_normalization)
 
         # --- rate loss
         f_rate_vs_t = self.forward_rate.get_rate(dims_xt, ts)  # (B,)

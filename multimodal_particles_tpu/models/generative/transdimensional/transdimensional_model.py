@@ -261,6 +261,7 @@ class TransdimensionalJumpDiffusion:
                     "mean_or_sum_over_dim",
                     "nearest_atom_pred",
                     "nearest_atom_loss_weight",
+                    "score_loss_normalization",
                 )
             },
         )

@@ -135,12 +135,18 @@ def gsdm_stack_pallas(
     Returns:
       (B, N, C) hidden state after the last AttnBlock.
     """
-    B, N_in, Din = x_in.shape
+    B_in, N_in, Din = x_in.shape
     C = transformer_dim
     N = ((N_in + 127) // 128) * 128
     if N != N_in:
         x_in = jnp.pad(x_in, ((0, 0), (0, N - N_in), (0, 0)))
-    TB = _pick_tile(B, N, C)
+    TB = _pick_tile(N, C)
+    B = -(-B_in // TB) * TB  # pad jets to a tile multiple (exact: per-jet kernel)
+    if B != B_in:
+        x_in = jnp.pad(x_in, ((0, B - B_in), (0, 0), (0, 0)))
+        temb_projected = tuple(
+            jnp.pad(tp, ((0, B - B_in), (0, 0))) for tp in temb_projected
+        )
     rows = TB * N
 
     x2 = x_in.astype(jnp.float32).reshape(B * N, Din)
@@ -173,4 +179,4 @@ def gsdm_stack_pallas(
         interpret=interpret,
     )(x2, *temb_projected, *packed)
 
-    return out.reshape(B, N, C)[:, :N_in]
+    return out.reshape(B, N, C)[:B_in, :N_in]

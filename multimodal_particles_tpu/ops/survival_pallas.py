@@ -238,14 +238,20 @@ def _survival_kernel(
     out_ref[:] = logit
 
 
-def _pick_tile(B, N, C, budget_bytes=6 * 1024 * 1024):
-    """Largest power-of-two jet tile whose activation working set fits a
-    conservative VMEM budget (several (TB·N, C) f32 buffers live at once)."""
+def _pick_tile(N, C, budget_bytes=6 * 1024 * 1024):
+    """Largest jet tile whose activation working set fits a conservative
+    VMEM budget (several (TB·N, C) f32 buffers live at once).
+
+    Only multiples of 8 are valid: the per-block (TB, C) time-embedding
+    blocks put TB in the sublane dimension, and Mosaic requires sublane
+    block sizes divisible by 8. Callers pad B up to a TB multiple (exact:
+    jets are independent in these kernels) rather than shrinking TB to a
+    divisor of B."""
     per_jet = N * C * 4 * 8  # ~8 live buffers
-    for tb in (64, 32, 16, 8, 4, 2, 1):
-        if B % tb == 0 and tb * per_jet <= budget_bytes:
+    for tb in (64, 32, 16):
+        if tb * per_jet <= budget_bytes:
             return tb
-    return 1
+    return 8
 
 
 @functools.partial(
@@ -273,14 +279,21 @@ def survival_head_pallas(
     Returns:
       (B, N, 1) survival logits.
     """
-    B, N_in, Dh = last_layer.shape
+    B_in, N_in, Dh = last_layer.shape
     C = transformer_dim
     N = ((N_in + 127) // 128) * 128
     if N != N_in:
         pad = ((0, 0), (0, N - N_in), (0, 0))
         last_layer = jnp.pad(last_layer, pad)
         mask_t = jnp.pad(mask_t, pad)
-    TB = _pick_tile(B, N, C)
+    TB = _pick_tile(N, C)
+    B = -(-B_in // TB) * TB  # pad jets to a tile multiple (exact: per-jet kernel)
+    if B != B_in:
+        last_layer = jnp.pad(last_layer, ((0, B - B_in), (0, 0), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, B - B_in), (0, 0), (0, 0)))
+        temb_projected = tuple(
+            jnp.pad(tp, ((0, B - B_in), (0, 0))) for tp in temb_projected
+        )
     rows = TB * N
 
     last2 = last_layer.astype(jnp.float32).reshape(B * N, Dh)
@@ -314,7 +327,7 @@ def survival_head_pallas(
         interpret=interpret,
     )(last2, mask2, *temb_projected, *packed)
 
-    return out.reshape(B, N, 1)[:, :N_in]
+    return out.reshape(B, N, 1)[:B_in, :N_in]
 
 
 def project_time_embeddings(gen_params, t, n_blocks: int, temb_dim: int):

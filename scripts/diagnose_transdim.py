@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     ap.add_argument("--print-every", type=int, default=50)
+    ap.add_argument("--no-fused", action="store_true",
+                    help="force the flax (non-Pallas) network forward")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +48,8 @@ def main():
 
     config = TransdimensionalEpicConfig()
     config.data.num_jets = 100
+    if args.no_fused:
+        config.parallel.use_pallas = False
 
     experiment = TransdimensionalExperiment(config, experiment_dir=None)
     with open(os.path.join(args.workdir, "trained_params.pkl"), "rb") as f:

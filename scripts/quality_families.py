@@ -216,6 +216,16 @@ def run_transdimensional(args):
     config.data.num_jets = 100
     if args.sampler_steps:
         config.sampler_kwargs.dt = 1.0 / args.sampler_steps
+    # Loss balance for a usable generator: at the reference's default
+    # weights the objective is ~92% creation-NLL (the forward rate's ~150x
+    # ELBO factor), the x0-dim classifier CE and rate terms get ~0.1%, and
+    # the classifier that drives the reverse birth rate never trains
+    # (diagnosed via scripts/diagnose_transdim.py: CE worse than uniform on
+    # train data, eps-MSE ~ 1 at the dims=1 states sampling starts in).
+    # score_loss_normalization='live' (the config default) plus these
+    # config-exposed weights give every head an O(1) share.
+    config.loss_kwargs.x0_logit_ce_loss_weight = 200.0
+    config.loss_kwargs.rate_loss_weight = 100.0
 
     experiment = TransdimensionalExperiment(config, experiment_dir=args.workdir)
     experiment.trainer.files = None  # see absorbing note

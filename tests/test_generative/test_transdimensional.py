@@ -287,6 +287,38 @@ def test_sampler_smoke(model_and_batch):
     assert (np.asarray(mask.sum(1))[:, 0] == d).all()
 
 
+def test_score_loss_normalization_options(model_and_batch):
+    """'live' re-weights the score term per live entry (so dims=1 samples
+    keep gradient weight); 'dims' reproduces the reference normalization."""
+    from multimodal_particles_tpu.models.generative.transdimensional.loss import (
+        JumpLossFinalDim,
+    )
+
+    cfg, model, params, state = model_and_batch
+    base = model.jump_diffusion_loss
+    kwargs = {f: getattr(base, f) for f in (
+        "forward_rate", "noise_schedule", "min_t", "loss_type",
+        "x0_logit_ce_loss_weight", "rate_loss_weight", "score_loss_weight",
+        "auto_loss_weight", "mean_or_sum_over_dim", "nearest_atom_pred",
+        "nearest_atom_loss_weight",
+    )}
+    key = jax.random.PRNGKey(5)
+    losses = {}
+    for norm in ("dims", "live"):
+        loss_fn = JumpLossFinalDim(score_loss_normalization=norm, **kwargs)
+        loss, comps = loss_fn(model, params, state, key)
+        assert np.isfinite(float(loss)), norm
+        losses[norm] = float(comps["score_loss"])
+    # live-normalized score error is strictly larger: every sample has
+    # live < D, so the rescale factor D/live > 1
+    assert losses["live"] > losses["dims"]
+
+    with pytest.raises(ValueError):
+        JumpLossFinalDim(score_loss_normalization="bogus", **kwargs)(
+            model, params, state, key
+        )
+
+
 def test_sampler_diagnostics(model_and_batch):
     cfg, model, params, state = model_and_batch
     final, nfe, diag = model.sample(

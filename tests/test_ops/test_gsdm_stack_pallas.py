@@ -37,9 +37,12 @@ class _Stack(nn.Module):
         return h
 
 
-@pytest.mark.parametrize("N", [128, 40])
-def test_fused_stack_matches_flax(N):
-    B, Din = 4, 27
+@pytest.mark.parametrize("N,B", [(128, 4), (40, 4), (40, 7)])
+def test_fused_stack_matches_flax(N, B):
+    # B=7: odd batch not divisible by the jet tile — the kernel must pad
+    # jets up to a sublane-valid tile multiple (regression: generation with
+    # a tiled template batch of 1036 jets hit an invalid (4, C) block)
+    Din = 27
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     x_in = jax.random.normal(k1, (B, N, Din))

@@ -25,12 +25,13 @@ from multimodal_particles_tpu.ops.survival_pallas import (
 )
 
 
-@pytest.mark.parametrize("N", [109, 128])
-def test_survival_head_kernel_parity(N):
+@pytest.mark.parametrize("N,B", [(109, 8), (128, 8), (109, 7)])
+def test_survival_head_kernel_parity(N, B):
     """Kernel output matches the flax absorbing head at both the reference
-    N=109 (non-lane-multiple) and N=128."""
+    N=109 (non-lane-multiple) and N=128, and at a batch size that is not a
+    jet-tile multiple (jets padded inside the kernel wrapper)."""
     config = AbsorbingConfig()
-    config.data.batch_size = 8
+    config.data.batch_size = B
     config.data.max_num_particles = N
     assert survival_pallas_supported(config)
 

@@ -141,7 +141,13 @@ class EncoderConfig:
     num_blocks: int = 2
     embedding_time: str = "SinusoidalPositionalEncoding"
     embedding_features_continuous: str = "Linear"
-    embedding_features_discrete: str = "Embedding"
+    # "Linear" feeds the trunk the noisy one-hot channel VALUES (a Dense
+    # over them), which the D_xt head must denoise. The reference uses
+    # "Embedding" of the argmax token (transdimensional_model.py:258-266),
+    # an information bottleneck that makes the one-hot eps unlearnable
+    # (MSE ~ 1 at every t) and the reverse jump sampler diverge from its
+    # first steps; "Embedding" is still accepted for reference parity.
+    embedding_features_discrete: str = "Linear"
     embedding_context_continuous: Optional[str] = None
     embedding_context_discrete: Optional[str] = None
     dim_hidden_local: int = 16

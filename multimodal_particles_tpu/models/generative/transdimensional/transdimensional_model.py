@@ -113,13 +113,23 @@ class TransdimensionalEPiC(nn.Module):
         B, N = state.B, state.N
         x = state.continuous
         node_mask = state.particle_mask()[:, :, None]  # (B, N, 1)
-        tokens = jnp.argmax(state.discrete, axis=-1)[..., None]
+        # Linear-discrete (the default): the trunk sees the noisy one-hot
+        # channel VALUES it must denoise. The reference instead embeds
+        # argmax tokens (transdimensional_model.py:258-266 via
+        # structure.py:230-232), which destroys the channel values — the
+        # D_xt head can then never predict their eps (measured eps-MSE ~ 1
+        # at every t) and the reverse sampler diverges from its first
+        # steps; 'Embedding' reproduces that reference behavior.
+        if self.config.encoder.embedding_features_discrete == "Linear":
+            k_in = state.discrete
+        else:
+            k_in = jnp.argmax(state.discrete, axis=-1)[..., None]
 
         ts3 = ts.reshape(B, 1, 1)
         net_out, net_last_layer = self.epic(
             ts3,
             state.continuous,
-            tokens,
+            k_in,
             node_mask,
             state.context_continuous,
             state.context_discrete,
@@ -303,7 +313,7 @@ class TransdimensionalJumpDiffusion:
             enc.transformer_dim % 128 == 0
             and enc.transformer_dim % max(enc.n_heads, 1) == 0
             and enc.n_attn_blocks >= 1
-            and epic_pattern_supported(self.config)
+            and epic_pattern_supported(self.config, allow_linear_discrete=True)
         )
         if flag == "auto":
             return supported and _jax.default_backend() != "cpu"
@@ -336,16 +346,30 @@ class TransdimensionalJumpDiffusion:
         C = enc.transformer_dim
         x = state.continuous
         node_mask = state.particle_mask()[:, :, None]
-        tokens = jnp.argmax(state.discrete, axis=-1)[..., None]
+        linear_discrete = enc.embedding_features_discrete == "Linear"
 
-        # --- trunk (fused)
-        packed_trunk = pack_mbm_encoder_params(
-            {"epic": net_params["epic"]}, enc.num_blocks, Dc
-        )
+        # --- trunk (fused); Linear-discrete folds the one-hot values into
+        # the continuous input (see TransdimensionalEPiC.__call__)
+        if linear_discrete:
+            from multimodal_particles_tpu.ops.epic_pallas import (
+                pack_encoder_params_fold_discrete,
+            )
+
+            packed_trunk = pack_encoder_params_fold_discrete(
+                {"epic": net_params["epic"]}, enc.num_blocks, Dc
+            )
+            x_in = jnp.concatenate([x, state.discrete], axis=-1)
+            tokens = jnp.zeros((B, N, 1), jnp.int32)
+        else:
+            packed_trunk = pack_mbm_encoder_params(
+                {"epic": net_params["epic"]}, enc.num_blocks, Dc
+            )
+            x_in = x
+            tokens = jnp.argmax(state.discrete, axis=-1)[..., None]
         net_out, net_last_layer = epic_forward_pallas(
             packed_trunk,
             ts.reshape(B, 1, 1),
-            x,
+            x_in,
             tokens,
             node_mask.astype(x.dtype),
             num_blocks=enc.num_blocks,
@@ -357,6 +381,7 @@ class TransdimensionalJumpDiffusion:
             dim_emb_time=enc.dim_emb_time,
             output_hidden_local=True,
             interpret=interpret,
+            fold_discrete=linear_discrete,
         )
         x_out = net_out[:, :, :Dc]
         onehot_out = net_out[:, :, Dc:]

@@ -56,7 +56,10 @@ def pack_mbm_encoder_params(encoder_params: Dict[str, Any], num_blocks: int, dim
 
     w_x = emb["embedding_continuous"]["kernel"].T  # (E, dim_c)
     b_x = emb["embedding_continuous"]["bias"][:, None]
-    table_k = emb["embedding_discrete"]["embedding"].T  # (E, vocab)
+    if "embedding" in emb["embedding_discrete"]:
+        table_k = emb["embedding_discrete"]["embedding"].T  # (E, vocab)
+    else:  # Linear-discrete params: folded by pack_encoder_params_fold_discrete
+        table_k = jnp.zeros((8, 128))
 
     proj = net["epic_proj"]
     w_l0, b_l0 = _wn_kernel(proj["local_0"]).T, proj["local_0"]["bias"][:, None]
@@ -99,6 +102,33 @@ def pack_mbm_encoder_params(encoder_params: Dict[str, Any], num_blocks: int, dim
         w_fg1, b_fg1, w_fg2, b_fg2, w_fl1, b_fl1, w_fl2, b_fl2,
         w_out_c, b_out_c, w_out_d, b_out_d, w_h0, b_h0, w_h1, b_h1,
     )
+
+
+def pack_encoder_params_fold_discrete(
+    encoder_params: Dict[str, Any], num_blocks: int, dim_c: int = 3
+):
+    """Packing variant for Linear-discrete embeddings (the transdimensional
+    trunk): the discrete Dense is folded block-diagonally into the
+    continuous embedding, so the kernel input is [x ‖ one-hot values] of
+    width dim_c + vocab and the token-embedding block is skipped
+    (fold_discrete=True). `dim_c` still names the OUTPUT continuous width
+    (the output-layer split is unchanged)."""
+    emb = encoder_params["epic"]["embedding"]
+
+    w_x = emb["embedding_continuous"]["kernel"].T  # (E1, Dc)
+    b_x = emb["embedding_continuous"]["bias"][:, None]
+    w_k = emb["embedding_discrete"]["kernel"].T  # (E2, V)
+    b_k = emb["embedding_discrete"]["bias"][:, None]
+
+    E1, Dc = w_x.shape
+    E2, V = w_k.shape
+    w_fold = jnp.zeros((E1 + E2, Dc + V), w_x.dtype)
+    w_fold = w_fold.at[:E1, :Dc].set(w_x).at[E1:, Dc:].set(w_k)
+    b_fold = jnp.concatenate([b_x, b_k], axis=0)
+
+    base = pack_mbm_encoder_params(encoder_params, num_blocks, dim_c)
+    # slots 0-2 are (w_x, b_x, table); table becomes an unused placeholder
+    return (w_fold, b_fold, jnp.zeros((8, 128), w_x.dtype)) + base[3:]
 
 
 def _leaky(x):
@@ -150,7 +180,8 @@ def _bcast_jets(g, TB, N):
     )
 
 
-def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_skip):
+def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks,
+                  use_skip, fold_discrete=False):
     """The EPiC forward in (features, lanes) layout, shared by the sampling
     kernel, the training (custom-VJP) kernels and their jnp parity oracle.
     Returns (cont, disc, activations-dict) — the activation set is what the
@@ -166,13 +197,20 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
 
     # ---- input embeddings (reference: utils.py:112-172)
     x_emb = _mm(W["w_x"], x) + W["b_x"]
-    k_onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k_col
-    ).astype(f32)
-    k_emb = _mm(W["table"], k_onehot)
-    feats = jnp.concatenate([t_local, x_emb, k_emb], axis=0) * mask
-    acts["k_onehot"] = k_onehot
-    acts["feats"] = feats
+    if fold_discrete:
+        # Linear-discrete mode: the one-hot channel VALUES ride in x and the
+        # block-diagonal w_x already contains the discrete Dense — x_emb IS
+        # [x_emb ‖ k_emb]; the token-embedding block is skipped entirely.
+        feats = jnp.concatenate([t_local, x_emb], axis=0) * mask
+        acts["feats"] = feats
+    else:
+        k_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (vocab, rows), 0) == k_col
+        ).astype(f32)
+        k_emb = _mm(W["table"], k_onehot)
+        feats = jnp.concatenate([t_local, x_emb, k_emb], axis=0) * mask
+        acts["k_onehot"] = k_onehot
+        acts["feats"] = feats
 
     # ---- projection (reference: epic.py:164-191)
     z_l0 = _mm(W["w_l0"], feats) + W["b_l0"]
@@ -237,6 +275,7 @@ def _forward_acts(x, k_col, mask, t_local, W, *, TB, N, vocab, num_blocks, use_s
 def _epic_kernel(
     x_ref, k_ref, mask_ref, temb_ref, *rest,
     TB, N, vocab, num_blocks, use_skip, add_discrete_head, output_hidden,
+    fold_discrete=False,
 ):
     """Sampling-path kernel: shared forward math + output writes."""
     n_outs = 3 if output_hidden else 2
@@ -245,6 +284,7 @@ def _epic_kernel(
     cont, disc, acts = _forward_acts(
         x_ref[:], k_ref[:], mask_ref[:], temb_ref[:], W,
         TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
+        fold_discrete=fold_discrete,
     )
     out_refs[0][:] = cont
     out_refs[1][:] = disc if add_discrete_head else acts["disc_pre"]
@@ -264,6 +304,7 @@ def _pick_tile(B):
     static_argnames=(
         "num_blocks", "use_skip", "add_discrete_head", "dim_c", "vocab",
         "hidden", "dim_emb_time", "output_hidden_local", "interpret",
+        "fold_discrete",
     ),
 )
 def epic_forward_pallas(
@@ -282,14 +323,18 @@ def epic_forward_pallas(
     dim_emb_time,
     output_hidden_local=False,
     interpret=False,
+    fold_discrete=False,
 ):
     """Fused EPiC forward.
 
     Args:
       packed: tuple from pack_mbm_encoder_params.
       t:    (B, 1, 1) time
-      x:    (B, N, dim_c) continuous
-      k:    (B, N, 1) tokens
+      x:    (B, N, dim_c) continuous — with fold_discrete=True this is
+            [x ‖ one-hot channel values] of width dim_c + vocab (packed via
+            pack_encoder_params_fold_discrete); `dim_c` always names the
+            OUTPUT continuous width.
+      k:    (B, N, 1) tokens (ignored when fold_discrete)
       mask: (B, N, 1)
     Returns:
       (B, N, dim_c + vocab) head outputs (continuous ‖ refined discrete);
@@ -301,6 +346,7 @@ def epic_forward_pallas(
     are sliced back to N.
     """
     B, N_in = x.shape[0], x.shape[1]
+    dim_in = x.shape[2]
     N = ((N_in + 127) // 128) * 128
     if N != N_in:
         pad = ((0, 0), (0, N - N_in), (0, 0))
@@ -315,7 +361,7 @@ def epic_forward_pallas(
     )
 
     # host-side layout change: (B, N, C) → (C, B·N); lanes are particles
-    xT = x.astype(jnp.float32).reshape(B * N, dim_c).T
+    xT = x.astype(jnp.float32).reshape(B * N, dim_in).T
     kT = k.reshape(1, B * N).astype(jnp.int32)
     maskT = mask.astype(jnp.float32).reshape(1, B * N)
     # broadcast the per-jet time embedding to per-particle lanes (E, B·N)
@@ -332,6 +378,7 @@ def epic_forward_pallas(
         use_skip=use_skip,
         add_discrete_head=add_discrete_head,
         output_hidden=output_hidden_local,
+        fold_discrete=fold_discrete,
     )
 
     def lane_spec(d, block_lanes):
@@ -344,7 +391,7 @@ def epic_forward_pallas(
     )
 
     in_specs = [
-        lane_spec(dim_c, TBN),  # xT
+        lane_spec(dim_in, TBN),  # xT
         lane_spec(1, TBN),  # kT
         lane_spec(1, TBN),  # maskT
         lane_spec(dim_emb_time, TBN),  # tembT (per-particle lanes)
@@ -376,17 +423,24 @@ def epic_forward_pallas(
     return out
 
 
-def epic_pattern_supported(config) -> bool:
+def epic_pattern_supported(config, allow_linear_discrete: bool = False) -> bool:
     """True when the encoder matches the kernel's covered pattern (the
     config-berlin / config-nyc family); other embedding switches fall back
     to the flax path. `epic_forward_pallas` itself handles any N by padding
-    jets to the next lane multiple (exact: trunk reductions are masked)."""
+    jets to the next lane multiple (exact: trunk reductions are masked).
+
+    allow_linear_discrete additionally accepts the Linear (one-hot valued)
+    discrete embedding — callers must then feed [x ‖ one-hot] with
+    fold_discrete=True (the transdimensional trunk does)."""
     e = config.encoder
     d = config.data
+    discrete_ok = e.embedding_features_discrete == "Embedding" or (
+        allow_linear_discrete and e.embedding_features_discrete == "Linear"
+    )
     return (
         e.embedding_time == "SinusoidalPositionalEncoding"
         and e.embedding_features_continuous == "Linear"
-        and e.embedding_features_discrete == "Embedding"
+        and discrete_ok
         and d.dim_context_continuous == 0
         and d.dim_context_discrete == 0
         and d.dim_features_discrete == 1

@@ -125,6 +125,11 @@ class SamplerKwargs:
     corrector_snr: float = 0.1
     jump_back_start_time: float = 0.5
     no_noise_final_step: bool = False
+    # Production-robustness knob beyond the reference: clamp the live flat
+    # latents to [-clip_lats, clip_lats] after every sampler step so one
+    # diverging tail trajectory cannot poison its jet (data is
+    # standardized, O(1); None = reference behavior, no clamping).
+    clip_lats: Optional[float] = None
 
 
 @dataclass

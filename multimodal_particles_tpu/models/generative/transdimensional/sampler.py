@@ -268,6 +268,12 @@ class JumpSampler:
             xt = jnp.where(increase[:, None], xt_b, xt)
             new_dims = state.dims + increase.astype(jnp.int32)
 
+            if cfg.clip_lats is not None:
+                # robustness clamp (opt-in, beyond the reference): bound the
+                # live latents so one diverging trajectory cannot feed
+                # exploded values back through the score/rate heads
+                xt = jnp.clip(xt, -cfg.clip_lats, cfg.clip_lats)
+
             state = state.set_flat_lats(xt).delete_dims(new_dims)
             state, _ = adjust_state(state)
             diag = {

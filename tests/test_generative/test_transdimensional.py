@@ -287,6 +287,25 @@ def test_sampler_smoke(model_and_batch):
     assert (np.asarray(mask.sum(1))[:, 0] == d).all()
 
 
+def test_sampler_clip_lats(datamodule):
+    """clip_lats bounds the live latents after every predictor step
+    (opt-in robustness knob; None = reference behavior)."""
+    import copy
+
+    cfg, dm = datamodule
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sampler_kwargs.dt = 1.0 / 20
+    cfg2.sampler_kwargs.clip_lats = 2.5
+    model = TransdimensionalJumpDiffusion(cfg2, dm)
+    batch = next(iter(dm.train))
+    state = state_from_list_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), state)
+    final, _ = model.sample(params, jax.random.PRNGKey(3), state)
+    lats = np.asarray(final.get_flat_lats() * final.get_mask_flat())
+    # adjust_state recenters after the clamp, so allow CoM-shift slack
+    assert np.abs(lats).max() <= 2.5 * 2 + 1e-5
+
+
 def test_score_loss_normalization_options(model_and_batch):
     """'live' re-weights the score term per live entry (so dims=1 samples
     keep gradient weight); 'dims' reproduces the reference normalization."""

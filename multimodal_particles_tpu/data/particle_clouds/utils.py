@@ -226,11 +226,9 @@ def _jetclass_features_from_raw(px, py, pz, flags, charge, mask):
     return out
 
 
-def validate_jetclass_h5(filepath):
-    """Check a converted JetClass `.h5` against the documented schema.
-
-    Returns (num_jets, max_len); raises ValueError on any contract breach.
-    """
+def _load_and_validate_jetclass_h5(filepath):
+    """One pass: read every schema dataset once, validate the contract on
+    the in-memory arrays. Returns (arrays dict, (num_jets, max_len))."""
     required = (
         JETCLASS_KINEMATIC_BRANCHES + JETCLASS_FLAG_BRANCHES + ("part_charge", "mask")
     )
@@ -252,28 +250,38 @@ def validate_jetclass_h5(filepath):
                 raise ValueError(
                     f"{filepath}: {k} shape {f[k].shape} != {shape}"
                 )
-        flags = np.stack([f[k][:] for k in JETCLASS_FLAG_BRANCHES], axis=-1)
-        mask = f["mask"][:].astype(bool)
-        if not np.all(flags.sum(-1)[mask] == 1):
-            raise ValueError(f"{filepath}: flavor flags not exclusive one-hot")
-        if not np.isin(f["part_charge"][:][mask], (-1, 0, 1)).all():
-            raise ValueError(f"{filepath}: part_charge outside {{-1,0,1}}")
+        arrays = {k: f[k][:] for k in required}
+    flags = np.stack([arrays[k] for k in JETCLASS_FLAG_BRANCHES], axis=-1)
+    mask = arrays["mask"].astype(bool)
+    if not np.all(flags.sum(-1)[mask] == 1):
+        raise ValueError(f"{filepath}: flavor flags not exclusive one-hot")
+    if not np.isin(arrays["part_charge"][mask], (-1, 0, 1)).all():
+        raise ValueError(f"{filepath}: part_charge outside {{-1,0,1}}")
+    return arrays, shape
+
+
+def validate_jetclass_h5(filepath):
+    """Check a converted JetClass `.h5` against the documented schema.
+
+    Returns (num_jets, max_len); raises ValueError on any contract breach.
+    """
+    _, shape = _load_and_validate_jetclass_h5(filepath)
     return shape
 
 
 def read_jetclass_h5(filepath):
     """Load one converted JetClass shard (schema above) into the same
-    per-particle feature dict read_aoj_file produces."""
-    validate_jetclass_h5(filepath)
-    with h5py.File(filepath, "r") as f:
-        px = f["part_px"][:].astype(np.float64)
-        py = f["part_py"][:].astype(np.float64)
-        pz = f["part_pz"][:].astype(np.float64)
-        flags = np.stack(
-            [f[k][:].astype(np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
-        )
-        charge = f["part_charge"][:].astype(np.float64)
-        mask = f["mask"][:].astype(bool)
+    per-particle feature dict read_aoj_file produces. Each dataset is read
+    exactly once (validation runs on the loaded arrays)."""
+    arrays, _ = _load_and_validate_jetclass_h5(filepath)
+    px = arrays["part_px"].astype(np.float64)
+    py = arrays["part_py"].astype(np.float64)
+    pz = arrays["part_pz"].astype(np.float64)
+    flags = np.stack(
+        [arrays[k].astype(np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
+    )
+    charge = arrays["part_charge"].astype(np.float64)
+    mask = arrays["mask"].astype(bool)
     return _jetclass_features_from_raw(px, py, pz, flags, charge, mask)
 
 
@@ -289,7 +297,22 @@ def read_jetclass_root(filepath):
             "load the resulting .h5 instead."
         ) from e
 
-    tree = uproot.open(filepath)["tree"]
+    pad_branch, mask = _load_jetclass_root_padded(filepath, uproot)
+    px = pad_branch("part_px", np.float64)
+    py = pad_branch("part_py", np.float64)
+    pz = pad_branch("part_pz", np.float64)
+    flags = np.stack(
+        [pad_branch(k, np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
+    )
+    charge = pad_branch("part_charge", np.float64)
+    return _jetclass_features_from_raw(px, py, pz, flags, charge, mask)
+
+
+def _load_jetclass_root_padded(path, uproot):
+    """Open one `.root` shard and return (pad_branch(name, dtype) closure,
+    bool validity mask) — the ragged-to-padded plumbing shared by the
+    direct reader and the offline `.h5` converter."""
+    tree = uproot.open(path)["tree"]
     branches = tree.arrays(
         list(
             JETCLASS_KINEMATIC_BRANCHES
@@ -299,9 +322,9 @@ def read_jetclass_root(filepath):
         library="np",
     )
     # ragged (object arrays of per-jet vectors) → padded + mask
-    ragged_px = branches["part_px"]
-    B = len(ragged_px)
-    L = max((len(v) for v in ragged_px), default=0)
+    ragged = branches["part_px"]
+    B = len(ragged)
+    L = max((len(v) for v in ragged), default=0)
 
     def pad_branch(name, dtype):
         out = np.zeros((B, L), dtype=dtype)
@@ -309,17 +332,10 @@ def read_jetclass_root(filepath):
             out[b, : len(v)] = v
         return out
 
-    px = pad_branch("part_px", np.float64)
-    py = pad_branch("part_py", np.float64)
-    pz = pad_branch("part_pz", np.float64)
-    flags = np.stack(
-        [pad_branch(k, np.float64) for k in JETCLASS_FLAG_BRANCHES], axis=-1
-    )
-    charge = pad_branch("part_charge", np.float64)
     mask = np.zeros((B, L), dtype=bool)
-    for b, v in enumerate(ragged_px):
+    for b, v in enumerate(ragged):
         mask[b, : len(v)] = True
-    return _jetclass_features_from_raw(px, py, pz, flags, charge, mask)
+    return pad_branch, mask
 
 
 def convert_jetclass_root_to_h5(root_path, h5_path):
@@ -333,21 +349,7 @@ def convert_jetclass_root_to_h5(root_path, h5_path):
             "conversion on a machine where it is installed."
         ) from e
 
-    tree = uproot.open(root_path)["tree"]
-    branches = tree.arrays(
-        list(
-            JETCLASS_KINEMATIC_BRANCHES
-            + JETCLASS_FLAG_BRANCHES
-            + ("part_charge",)
-        ),
-        library="np",
-    )
-    ragged = branches["part_px"]
-    B = len(ragged)
-    L = max((len(v) for v in ragged), default=0)
-    mask = np.zeros((B, L), dtype=np.uint8)
-    for b, v in enumerate(ragged):
-        mask[b, : len(v)] = 1
+    pad_branch, mask = _load_jetclass_root_padded(root_path, uproot)
 
     import os
 
@@ -356,20 +358,21 @@ def convert_jetclass_root_to_h5(root_path, h5_path):
         f.attrs["tree"] = "tree"
         f.attrs["source"] = os.path.basename(str(root_path))
         for name in JETCLASS_KINEMATIC_BRANCHES:
-            out = np.zeros((B, L), dtype=np.float32)
-            for b, v in enumerate(branches[name]):
-                out[b, : len(v)] = v
-            f.create_dataset(name, data=out, compression="gzip")
+            f.create_dataset(
+                name, data=pad_branch(name, np.float32), compression="gzip"
+            )
         for name in JETCLASS_FLAG_BRANCHES:
-            out = np.zeros((B, L), dtype=np.uint8)
-            for b, v in enumerate(branches[name]):
-                out[b, : len(v)] = v
-            f.create_dataset(name, data=out, compression="gzip")
-        charge = np.zeros((B, L), dtype=np.int8)
-        for b, v in enumerate(branches["part_charge"]):
-            charge[b, : len(v)] = v
-        f.create_dataset("part_charge", data=charge, compression="gzip")
-        f.create_dataset("mask", data=mask, compression="gzip")
+            f.create_dataset(
+                name, data=pad_branch(name, np.uint8), compression="gzip"
+            )
+        f.create_dataset(
+            "part_charge",
+            data=pad_branch("part_charge", np.int8),
+            compression="gzip",
+        )
+        f.create_dataset(
+            "mask", data=mask.astype(np.uint8), compression="gzip"
+        )
     return h5_path
 
 
@@ -390,7 +393,7 @@ def extract_jetclass_features(dataset, **args):
     for path in dataset:
         if str(path).endswith(".root"):
             d = read_jetclass_root(path)
-        elif ".h5" in str(path):
+        elif str(path).endswith((".h5", ".hdf5")):
             d = read_jetclass_h5(path)
         else:
             raise ValueError(

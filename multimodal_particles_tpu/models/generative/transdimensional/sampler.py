@@ -137,8 +137,12 @@ class JumpSampler:
                 "mask/dims); the reference builds it via dataset_obj."
                 "condition_state (sampler.py:115)"
             )
-        if not cfg.do_conditioning:
-            condition = None
+        if not cfg.do_conditioning and condition is not None:
+            raise ValueError(
+                "a Condition was supplied but config.sampler_kwargs."
+                "do_conditioning is False — the guidance branch would be "
+                "silently skipped; set do_conditioning=True"
+            )
 
         ts_arr, dt_arr, will_finish_arr, corrector_on_arr, _finish_at = (
             _build_time_grid(cfg)
@@ -276,11 +280,10 @@ class JumpSampler:
 
             state = state.set_flat_lats(xt).delete_dims(new_dims)
             state, _ = adjust_state(state)
+            # predictor-step diagnostics; the state-dependent stats
+            # (max_abs_x, mean_dims) are added by the step wrappers AFTER
+            # any corrector moves so they describe the step's final state
             diag = {
-                "max_abs_x": jnp.max(
-                    jnp.abs(state.get_flat_lats() * state.get_mask_flat())
-                ),
-                "mean_dims": jnp.mean(new_dims.astype(jnp.float32)),
                 "birth_frac": jnp.mean(increase.astype(jnp.float32)),
                 "rate_mean": jnp.mean(rate_xt[:, 0]),
             }
@@ -355,6 +358,18 @@ class JumpSampler:
             1.0 if cfg.no_noise_final_step and cfg.corrector_steps == 0 else 0.0
         )
 
+        def _state_diag(state, pred_diag):
+            """Full per-step diagnostics from the step's FINAL state (after
+            any corrector births/deaths); birth_frac/rate_mean describe the
+            predictor move only."""
+            return {
+                "max_abs_x": jnp.max(
+                    jnp.abs(state.get_flat_lats() * state.get_mask_flat())
+                ),
+                "mean_dims": jnp.mean(state.dims.astype(jnp.float32)),
+                **pred_diag,
+            }
+
         def plain_step(carry, xs):
             state, key = carry
             t, dt, will_finish = xs
@@ -363,7 +378,9 @@ class JumpSampler:
             state, diag = diffusion_and_jump(
                 state, t_b, dt, will_finish, no_noise_gate, key_d
             )
-            return (state, key), (diag if collect_diagnostics else None)
+            return (state, key), (
+                _state_diag(state, diag) if collect_diagnostics else None
+            )
 
         def corrected_step(carry, xs):
             state, key = carry
@@ -376,7 +393,9 @@ class JumpSampler:
             for _ in range(cfg.corrector_steps):
                 key, key_c = jax.random.split(key)
                 state = corrector_move(state, t_b - dt, dt, will_finish, key_c)
-            return (state, key), (diag if collect_diagnostics else None)
+            return (state, key), (
+                _state_diag(state, diag) if collect_diagnostics else None
+            )
 
         ts_j = jnp.asarray(ts_arr)
         dt_j = jnp.asarray(dt_arr)

@@ -515,10 +515,15 @@ class TransdimensionalJumpDiffusion:
             nearest_atom = jnp.zeros((B,), jnp.int32)
 
         if fused and self._pallas_enabled():
+            # interpret mode when use_pallas was forced on a CPU backend
+            # (same guard as the absorbing forward_sampling path)
+            import jax as _jax
+
             D_eps, rate_emb, near_atom_logits, auto_mean, auto_std, nearest_used = (
                 self._network_fused(
                     params["network"], state, ts, nearest_atom,
                     sample_nearest_atom, key,
+                    interpret=_jax.default_backend() == "cpu",
                 )
             )
         else:

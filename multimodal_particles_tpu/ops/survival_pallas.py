@@ -127,7 +127,10 @@ def _group_norm(h, scale, bias, TB, N, C, n_real, row_mask):
 
     cnt = jnp.float32(n_real * group_size)
     mean_g = _mm(sum_c, M) / cnt  # (TB, GROUPS)
-    var_g = _mm(sum_sq_c, M) / cnt - mean_g * mean_g
+    # E[x²]−E[x]² can go slightly negative in f32 for large-mean inputs
+    # (catastrophic cancellation) and would feed rsqrt a value below −eps;
+    # clamp keeps the kernel finite where the two-pass flax GroupNorm is
+    var_g = jnp.maximum(_mm(sum_sq_c, M) / cnt - mean_g * mean_g, 0.0)
 
     mean_c = _mm(mean_g, M.T)  # (TB, C)
     rstd_c = jax.lax.rsqrt(_mm(var_g, M.T) + GN_EPS)

@@ -89,8 +89,10 @@ def pad_to_multiple(batch, multiple: int):
     sizes = [v.shape[0] for v in leaves if v.ndim > 0]
     if not sizes:
         return batch, 0
-    # the batch size is the modal leading dim; anything else is context
-    b = max(set(sizes), key=sizes.count)
+    # the batch size is the modal leading dim; anything else is context.
+    # Ties (e.g. one per-sample leaf + one (1, d) context leaf) break
+    # toward the LARGER dim — context fields are the small ones.
+    b = max(set(sizes), key=lambda s: (sizes.count(s), s))
     target = ((b + multiple - 1) // multiple) * multiple
     if target == b:
         return batch, b

@@ -273,14 +273,17 @@ def run_transdimensional(args):
     while n < args.gen_jets:
         out = predict(params, template, jax.random.fold_in(key, r))
         r += 1
-        d = np.asarray(out.dims)
+        # truncate each chunk to the remaining quota so the multiplicity
+        # and constituent metrics score the SAME first gen_jets jets
+        take = min(np.asarray(out.dims).shape[0], args.gen_jets - n)
+        d = np.asarray(out.dims)[:take]
         dims_gen.append(d)
-        x = np.asarray(out.continuous)  # standardized (B, N, 3)
+        x = np.asarray(out.continuous)[:take]  # standardized (B, N, 3)
         alive = np.arange(x.shape[1])[None, :] < d[:, None]
         pt_gen.append(x[..., 0][alive])
-        n += d.shape[0]
+        n += take
     gen_s = time.time() - t0
-    dims_gen = np.concatenate(dims_gen)[: args.gen_jets]
+    dims_gen = np.concatenate(dims_gen)
     print(f"[transdim] generated {args.gen_jets} jets in {gen_s:.1f}s")
 
     mult_data = np.asarray(

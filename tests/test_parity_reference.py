@@ -534,3 +534,282 @@ def test_gsdm_timestep_embedding_parity(ref_pkg):
     with torch.no_grad():
         theirs = ref_emb(torch.from_numpy(ts), 32).numpy()
     np.testing.assert_allclose(mine, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_rate_parity(ref_pkg):
+    """Step/Const forward deletion rates match the torch reference
+    (reference: noising.py:80-164): scalar calibration, pointwise rate,
+    and the closed-form rate integral."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.generative.diffusion.noising import (
+        ConstForwardRate as RefConst,
+        StepForwardRate as RefStep,
+    )
+
+    from multimodal_particles_tpu.models.generative.diffusion.noising import (
+        ConstForwardRate,
+        StepForwardRate,
+    )
+
+    ts = np.linspace(0.01, 0.99, 13).astype(np.float32)
+    for max_dim in (16, 128):
+        mine = StepForwardRate(max_dim=max_dim, rate_cut_t=0.1)
+        ref = RefStep(max_dim=max_dim, rate_cut_t=0.1)
+        np.testing.assert_allclose(mine.get_scalar(), ref.get_scalar(), rtol=1e-6)
+        with torch.no_grad():
+            np.testing.assert_allclose(
+                np.asarray(mine.get_rate(None, jnp.asarray(ts))),
+                ref.get_rate(None, torch.from_numpy(ts)).numpy(),
+                rtol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(mine.get_rate_integral(jnp.asarray(ts))),
+                ref.get_rate_integral(torch.from_numpy(ts)).numpy(),
+                rtol=1e-5,
+            )
+        minec = ConstForwardRate(max_dim=max_dim)
+        refc = RefConst(max_dim=max_dim, scalar=None)
+        np.testing.assert_allclose(minec.get_scalar(), refc.get_scalar(), rtol=1e-6)
+        with torch.no_grad():
+            np.testing.assert_allclose(
+                np.asarray(minec.get_rate_integral(jnp.asarray(ts))),
+                refc.get_rate_integral(torch.from_numpy(ts)).numpy(),
+                rtol=1e-5,
+            )
+
+
+def test_get_rate_using_x0_pred_parity(ref_pkg):
+    """The vectorized reverse birth rate matches the reference's per-sample
+    loop implementation, including the d_x = 1 truncated-logsumexp branch
+    and the d_x = max_dim boundary (reference: noising.py:166-215)."""
+    import jax.numpy as jnp
+
+    from multimodal_particles.models.generative.diffusion.noising import (
+        StepForwardRate as RefStep,
+        get_rate_using_x0_pred as ref_rate,
+    )
+
+    from multimodal_particles_tpu.models.generative.diffusion.noising import (
+        StepForwardRate,
+        get_rate_using_x0_pred,
+    )
+
+    max_dim = 24
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((8, max_dim)).astype(np.float32) * 3.0
+    # cover: the dims=1 branch, interior dims, and the max_dim boundary
+    xt_dims = np.array([1, 1, 2, 3, 12, 23, 24, 24], np.int64)
+    ts = rng.uniform(0.05, 0.95, 8).astype(np.float32)
+
+    mine = StepForwardRate(max_dim=max_dim, rate_cut_t=0.1)
+    ref_fr = RefStep(max_dim=max_dim, rate_cut_t=0.1)
+
+    got = np.asarray(
+        get_rate_using_x0_pred(
+            jnp.asarray(logits), jnp.asarray(xt_dims), mine,
+            jnp.asarray(ts), max_dim,
+        )
+    )
+    with torch.no_grad():
+        want = ref_rate(
+            torch.from_numpy(logits),
+            torch.from_numpy(xt_dims),
+            ref_fr,
+            torch.from_numpy(ts),
+            max_dim,
+        ).numpy()
+    np.testing.assert_allclose(got, want.reshape(-1), rtol=2e-4, atol=1e-6)
+
+
+def test_transdimensional_net_forward_parity(ref_pkg):
+    """Transplanted weights ⇒ identical TransdimensionalEPiC outputs
+    (D_xt, reverse rate, creation mean/std, x0-dim logits, nearest-atom
+    logits) between the torch reference and the flax rebuild, in the
+    reference's Embedding-discrete mode
+    (reference: transdimensional_model.py:135-452)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig as RefTCfg,
+    )
+    from multimodal_particles.models.generative.transdimensional.structure import (
+        StructuredDataBatch as RefSDB,
+    )
+    from multimodal_particles.models.generative.transdimensional.transdimensional_model import (
+        TransdimensionalJumpDiffusion as RefTJD,
+    )
+
+    # must come AFTER the model imports: the reference's jets_dataloader and
+    # absorbing_flows import each other circularly and only resolve when the
+    # model side initiates the chain
+    from multimodal_particles.data.particle_clouds.jets_dataloader import (
+        JetsGraphicalStructure as RefJGS,
+    )
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.jets import JetDataclass
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        JetsDataloaderModule,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        state_from_list_batch,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.transdimensional_model import (
+        TransdimensionalJumpDiffusion,
+    )
+
+    # ---- shared small config (both sides identical)
+    Np, Bt, C, blocks = 24, 8, 32, 1
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.return_type = "list"
+    cfg.data.num_jets = 100
+    cfg.data.max_num_particles = Np
+    cfg.data.batch_size = Bt
+    cfg.encoder.transformer_dim = C
+    cfg.encoder.n_attn_blocks = blocks
+    cfg.encoder.embedding_features_discrete = "Embedding"  # reference mode
+
+    jets = JetDataclass(config=cfg)
+    jets.preprocess()
+    dm = JetsDataloaderModule(config=cfg, jetdataset=jets)
+    batch = next(iter(dm.train))
+    dims_np = np.asarray(batch[0])
+    data_np = [np.asarray(t, np.float32) for t in batch[1:]]
+
+    model = TransdimensionalJumpDiffusion(cfg, dm)
+    state = state_from_list_batch(batch)
+    params = jax.device_get(model.init(jax.random.PRNGKey(0), state))
+
+    # ---- torch side: reference model over a minimal datamodule facade
+    ref_cfg = RefTCfg()
+    ref_cfg.data.max_num_particles = Np
+    ref_cfg.data.batch_size = Bt
+    ref_cfg.encoder.transformer_dim = C
+    ref_cfg.encoder.n_attn_blocks = blocks
+
+    fake_dm = SimpleNamespace(
+        config=ref_cfg,
+        histogram_target={int(k): int(v) for k, v in dm.histogram_target.items()},
+        names_in_batch=list(dm.names_in_batch),
+        name_to_index=dict(dm.name_to_index),
+        observed=np.asarray(dm.observed),
+        exist=np.asarray(dm.exist),
+        is_onehot=list(np.asarray(dm.is_onehot)),
+        with_onehot_shapes=[torch.Size(s) for s in dm.with_onehot_shapes],
+        without_onehot_shapes=[torch.Size(s) for s in dm.without_onehot_shapes],
+    )
+    fake_dm.graphical_structure = RefJGS(fake_dm)
+
+    torch.manual_seed(0)
+    ref_model = RefTJD(ref_cfg, fake_dm)
+    ref_model.eval()
+    ref_net = ref_model.net.model  # TransdimensionalEPiC
+
+    # ---- transplant torch → flax
+    net_p = params["network"]
+    emb = net_p["epic"]["embedding"]
+    _dense(emb["embedding_continuous"], ref_net.epic.embedding.embedding_continuous)
+    emb["embedding_discrete"]["embedding"] = (
+        ref_net.epic.embedding.embedding_discrete.weight.detach().numpy().copy()
+    )
+    epic = net_p["epic"]["epic"]
+    proj = ref_net.epic.epic.epic_proj
+    _wn(epic["epic_proj"]["local_0"], proj.local_0)
+    _wn(epic["epic_proj"]["global_0"], proj.global_0)
+    _wn(epic["epic_proj"]["global_1"], proj.global_1)
+    _wn(epic["epic_proj"]["global_2"], proj.global_2)
+    for i, layer in enumerate(ref_net.epic.epic.epic_layers):
+        blk = epic[f"epic_layer_{i}"]
+        _wn(blk["fc_global1"], layer.fc_global1)
+        _wn(blk["fc_global2"], layer.fc_global2)
+        _wn(blk["fc_local1"], layer.fc_local1)
+        _wn(blk["fc_local2"], layer.fc_local2)
+    _wn(epic["output_layer"], ref_net.epic.epic.output_layer)
+    # (the reference defines an add_discrete_head fc_layer but never calls
+    # it in forward — dead weights, deliberately omitted in the rebuild)
+
+    _dense(net_p["temb_net"], ref_net.temb_net)
+    _dense(net_p["transformer_1_proj_in"], ref_net.transformer_1_proj_in)
+    for i in range(blocks):
+        r, a = ref_net.res_blocks[i], ref_net.attn_blocks[i]
+        _gn(net_p[f"res_{i}"]["norm1"], r.norm1)
+        _conv1(net_p[f"res_{i}"]["conv1"], r.conv1)
+        _conv1(net_p[f"res_{i}"]["temb_proj"], r.temb_proj)
+        _gn(net_p[f"res_{i}"]["norm2"], r.norm2)
+        _conv1(net_p[f"res_{i}"]["conv2"], r.conv2)
+        _gn(net_p[f"attn_{i}"]["norm"], a.norm)
+        _conv1(net_p[f"attn_{i}"]["q"], a.q)
+        _conv1(net_p[f"attn_{i}"]["k"], a.k)
+        _conv1(net_p[f"attn_{i}"]["v"], a.v)
+        _conv1(net_p[f"attn_{i}"]["proj_out"], a.proj_out)
+        rv, av = ref_net.vec_res_blocks[i], ref_net.vec_attn_blocks[i]
+        _gn(net_p[f"vec_res_{i}"]["norm1"], rv.norm1)
+        _conv1(net_p[f"vec_res_{i}"]["conv1"], rv.conv1)
+        _conv1(net_p[f"vec_res_{i}"]["temb_proj"], rv.temb_proj)
+        _gn(net_p[f"vec_res_{i}"]["norm2"], rv.norm2)
+        _conv1(net_p[f"vec_res_{i}"]["conv2"], rv.conv2)
+        _gn(net_p[f"vec_attn_{i}"]["norm"], av.norm)
+        _conv1(net_p[f"vec_attn_{i}"]["q"], av.q)
+        _conv1(net_p[f"vec_attn_{i}"]["k"], av.k)
+        _conv1(net_p[f"vec_attn_{i}"]["v"], av.v)
+        _conv1(net_p[f"vec_attn_{i}"]["proj_out"], av.proj_out)
+    _dense(net_p["pre_rate_proj"], ref_net.pre_rate_proj)
+    _dense(net_p["post_rate_proj"], ref_net.post_rate_proj)
+    _dense(net_p["near_atom_proj"], ref_net.near_atom_proj)
+    _dense(net_p["vec_transformer_in_proj"], ref_net.vec_transformer_in_proj)
+    _dense(net_p["vec_weighting_proj"], ref_net.vec_weighting_proj)
+    _dense(net_p["pre_auto_proj"], ref_net.pre_auto_proj)
+    _dense(net_p["post_auto_proj"], ref_net.post_auto_proj)
+
+    # ---- identical fixed inputs through both nets
+    ts = np.full((Bt,), 0.4, np.float32)
+    nearest = np.zeros((Bt,), np.int64)
+
+    D, rate, (amean, astd), x0_logits, near_logits, _ = model.net_forward(
+        params,
+        state,
+        jnp.asarray(ts),
+        nearest_atom=jnp.asarray(nearest, jnp.int32),
+        predict="eps",
+    )
+
+    st_batch = RefSDB(
+        [torch.from_numpy(t) for t in data_np],
+        torch.from_numpy(dims_np),
+        fake_dm.observed,
+        fake_dm.exist,
+        fake_dm.is_onehot,
+        fake_dm.graphical_structure,
+    )
+    with torch.no_grad():
+        rD, rrate, rms, rx0, rnear = ref_model.net(
+            st_batch,
+            torch.from_numpy(ts),
+            predict="eps",
+            forward_rate=ref_model.forward_rate,
+            nearest_atom=torch.from_numpy(nearest),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(D), rD.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(rate).reshape(-1), rrate.numpy().reshape(-1),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x0_logits), rx0.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(near_logits), rnear.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(amean), rms[0].numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(astd), rms[1].numpy(), rtol=1e-4, atol=1e-4
+    )

@@ -96,19 +96,36 @@ def bulk_sample(
     mesh = mesh if mesh is not None else make_device_mesh()
     key = jax.random.PRNGKey(seed)
 
-    if multiplicity_hist is None and target_multiplicity is not None:
-        from multimodal_particles_tpu.data.particle_clouds.utils import (
-            sizes_to_histograms,
+    # the transdimensional family needs no source cloud — its sampler draws
+    # x ~ N(0, I) at dims=1 internally and only takes SHAPES from the batch
+    is_transdim = hasattr(model, "jump_diffusion_loss")
+
+    if not is_transdim:
+        if multiplicity_hist is None and target_multiplicity is not None:
+            from multimodal_particles_tpu.data.particle_clouds.utils import (
+                sizes_to_histograms,
+            )
+
+            multiplicity_hist = sizes_to_histograms(target_multiplicity)
+        if multiplicity_hist is None:
+            hist_cfg = (config.data.target_info or {}).get("hist_num_particles")
+            multiplicity_hist = hist_cfg
+
+        source_sampler = make_device_source_sampler(
+            config, batch_size, multiplicity_hist
         )
-
-        multiplicity_hist = sizes_to_histograms(target_multiplicity)
-    if multiplicity_hist is None:
-        hist_cfg = (config.data.target_info or {}).get("hist_num_particles")
-        multiplicity_hist = hist_cfg
-
-    source_sampler = make_device_source_sampler(
-        config, batch_size, multiplicity_hist
-    )
+    else:
+        N = config.data.max_num_particles
+        template = [
+            jnp.ones((batch_size,), jnp.int32),
+            jnp.zeros(
+                (batch_size, N, config.data.dim_features_continuous), jnp.float32
+            ),
+            jnp.zeros(
+                (batch_size, N, config.data.vocab_size_features), jnp.float32
+            ),
+        ]
+        source_sampler = lambda key: template
 
     from multimodal_particles_tpu.parallel.mesh import batch_sharding
 
@@ -124,7 +141,10 @@ def bulk_sample(
         )
         out = model.predict(params, batch, key_samp)
         # in-program checksum: syncing a chunk costs one 4-byte fetch
-        checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.discrete[0, 0])
+        if is_transdim:
+            checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.dims[0])
+        else:
+            checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.discrete[0, 0])
         return out, checksum
 
     chunk_fn = jax.jit(chunk)
@@ -143,17 +163,32 @@ def bulk_sample(
         out, checksum = chunk_fn(params, jnp.asarray(all_keys[i]))
         take = min(batch_size, num_jets - done)
         if collect:
-            chunks.append(
-                {
-                    "continuous": np.asarray(out.continuous)[:take],
-                    "discrete": np.asarray(out.discrete)[:take],
-                    "mask": np.asarray(
-                        out.absorbing
-                        if getattr(out, "absorbing", None) is not None
-                        else out.mask_t
-                    )[:take],
-                }
-            )
+            if is_transdim:
+                d = np.asarray(out.dims)[:take]
+                mask = (
+                    np.arange(out.continuous.shape[1])[None, :] < d[:, None]
+                ).astype(np.int32)[..., None]
+                chunks.append(
+                    {
+                        "continuous": np.asarray(out.continuous)[:take],
+                        "discrete": np.asarray(
+                            jnp.argmax(out.discrete, axis=-1)
+                        )[:take][..., None],
+                        "mask": mask,
+                    }
+                )
+            else:
+                chunks.append(
+                    {
+                        "continuous": np.asarray(out.continuous)[:take],
+                        "discrete": np.asarray(out.discrete)[:take],
+                        "mask": np.asarray(
+                            out.absorbing
+                            if getattr(out, "absorbing", None) is not None
+                            else out.mask_t
+                        )[:take],
+                    }
+                )
         else:
             float(checksum)  # 4-byte sync per chunk
         done += take

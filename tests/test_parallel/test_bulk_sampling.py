@@ -39,3 +39,45 @@ def test_bulk_sample_counts_and_shapes():
     assert result["discrete"].shape == (40, 16, 1)
     assert np.isfinite(result["continuous"]).all()
     assert stats["jets_per_sec"] > 0
+
+def test_bulk_sample_transdimensional():
+    """bulk_sample drives the transdimensional family too: the source is a
+    shapes-only template (the jump sampler starts from dims=1, x~N(0,I))
+    and the collected output converts dims to masks and one-hot channels
+    to tokens."""
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional import (
+        TransdimensionalJumpDiffusion,
+    )
+
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.batch_size = 8
+    cfg.data.max_num_particles = 16
+    cfg.encoder.transformer_dim = 32
+    cfg.encoder.n_attn_blocks = 1
+    cfg.sampler_kwargs.dt = 0.1  # 10-step sampler
+
+    model = TransdimensionalJumpDiffusion(cfg)
+    rng = np.random.default_rng(0)
+    batch = [
+        jnp.asarray(rng.integers(1, 17, 8)),
+        jnp.asarray(rng.standard_normal((8, 16, 3)), jnp.float32),
+        jnp.asarray(np.eye(8, dtype=np.float32)[rng.integers(0, 8, (8, 16))]),
+    ]
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    result, stats = bulk_sample(
+        model, params, cfg, num_jets=20, batch_size=8, seed=2
+    )
+    assert stats["num_jets"] == 20
+    assert result["continuous"].shape == (20, 16, 3)
+    assert result["discrete"].shape == (20, 16, 1)
+    assert result["mask"].shape == (20, 16, 1)
+    # mask rows match the generated dims (>= 1 live particle per jet)
+    m = result["mask"][..., 0].sum(1)
+    assert (m >= 1).all() and (m <= 16).all()
+    assert np.isfinite(result["continuous"]).all()

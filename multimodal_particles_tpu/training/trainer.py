@@ -173,6 +173,9 @@ class Trainer:
     def setup(self, example_batch, steps_per_epoch: int = 1):
         """Initialize params/optimizer and compile the step functions."""
         self.tx = build_optimizer(resolve_train_config(self.config), steps_per_epoch)
+        # pad like fit/predict do: an example batch whose size is not a
+        # device-count multiple must not crash the sharded device_put
+        example_batch, _ = pad_to_multiple(example_batch, self.data_parallel)
         batch = shard_batch(example_batch, self.mesh)
         params = self.model.init(self.root_key, batch)
         params = jax.device_put(params, replicated_sharding(self.mesh))

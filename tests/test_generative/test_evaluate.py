@@ -33,7 +33,9 @@ def test_evaluate_experiment_end_to_end(tmp_path):
 
     config = MultimodalBridgeMatchingConfig.from_yaml(CONFIG_PATH)
     config.data.num_jets = 100
-    config.data.batch_size = 24
+    # 25 is deliberately NOT divisible by the 8-device test mesh: the
+    # trainer must pad the setup/fit batches to the device count
+    config.data.batch_size = 25
     config.data.max_num_particles = 16
     config.bridge.num_timesteps = 5
     config.train.epochs = 2

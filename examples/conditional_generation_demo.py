@@ -40,6 +40,9 @@ def main():
     from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
         Condition,
     )
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        adjust_state,
+    )
     from multimodal_particles_tpu.training.transdimensional_experiment import (
         TransdimensionalExperiment,
     )
@@ -71,28 +74,35 @@ def main():
     state = model._as_state(batch)
     B = state.B
 
-    # observe the first k (highest-pT) particles of each data jet
+    # observe the first k (highest-pT) particles of each data jet, in the
+    # conditioned-state geometry (the guidance l2 compares CoM-adjusted
+    # k-particle states — reference sampler.py:115-129)
     k = args.observed_particles
     cond_dims = jnp.full((B,), k, jnp.int32)
+    cond_state, _ = adjust_state(state.delete_dims(cond_dims))
     cond_mask = state.get_mask_flat(cond_dims)
-    cond_lats = state.get_flat_lats() * cond_mask
+    cond_lats = cond_state.get_flat_lats() * cond_mask
     condition = Condition(lats=cond_lats, mask=cond_mask, dims=cond_dims)
 
     final, nfe = jax.jit(
         lambda p, key: model.sample(p, key, state, condition)
     )(params, jax.random.PRNGKey(1))
 
-    x = np.asarray(final.continuous)
     d = np.asarray(final.dims)
-    obs = np.asarray(state.continuous[:, :k, :])
-    err = np.abs(x[:, :k, :] - obs).mean()
+    # score in the same geometry: project the generated jets onto their
+    # first k particles and CoM-adjust, then compare with the condition
+    gen_proj, _ = adjust_state(final.delete_dims(cond_dims))
+    gen_k = np.asarray(gen_proj.continuous[:, :k, :])
+    obs_k = np.asarray(cond_state.continuous[:, :k, :])
+    err = np.abs(gen_k - obs_k).mean()
     print(
         f"conditioned sampling: {B} jets, NFE={nfe}, "
         f"mean dims {d.mean():.1f} (data {np.asarray(state.dims).mean():.1f})"
     )
     print(
-        f"mean |generated - observed| over the {k} conditioned particles: "
-        f"{err:.3f} (standardized units; unconditioned jets differ by O(1))"
+        f"mean |generated - observed| over the {k} conditioned particles "
+        f"(CoM-adjusted geometry): {err:.3f} standardized units "
+        f"(unconditioned jets differ by O(1))"
     )
 
 

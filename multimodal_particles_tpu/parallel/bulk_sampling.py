@@ -115,17 +115,26 @@ def bulk_sample(
             config, batch_size, multiplicity_hist
         )
     else:
+        if multiplicity_hist is not None or target_multiplicity is not None:
+            raise ValueError(
+                "the transdimensional family generates its own multiplicity "
+                "via birth jumps — target_multiplicity/multiplicity_hist "
+                "would be silently ignored"
+            )
         N = config.data.max_num_particles
-        template = [
-            jnp.ones((batch_size,), jnp.int32),
-            jnp.zeros(
-                (batch_size, N, config.data.dim_features_continuous), jnp.float32
-            ),
-            jnp.zeros(
-                (batch_size, N, config.data.vocab_size_features), jnp.float32
-            ),
-        ]
-        source_sampler = lambda key: template
+        Dc = config.data.dim_features_continuous
+        V = config.data.vocab_size_features
+
+        def source_sampler(key):
+            # shapes-only template (the jump sampler starts from dims=1,
+            # x ~ N(0, I) drawn internally); built inside the jitted chunk
+            # so the zeros are device-materialized, never jaxpr constants
+            del key
+            return [
+                jnp.ones((batch_size,), jnp.int32),
+                jnp.zeros((batch_size, N, Dc), jnp.float32),
+                jnp.zeros((batch_size, N, V), jnp.float32),
+            ]
 
     from multimodal_particles_tpu.parallel.mesh import batch_sharding
 
@@ -143,6 +152,13 @@ def bulk_sample(
         # in-program checksum: syncing a chunk costs one 4-byte fetch
         if is_transdim:
             checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.dims[0])
+            # token/mask conversion in-program (a host-loop argmax would
+            # cost one extra ~30 ms remote dispatch per chunk)
+            out = {
+                "continuous": out.continuous,
+                "discrete": jnp.argmax(out.discrete, axis=-1)[..., None],
+                "mask": out.particle_mask().astype(jnp.int32)[..., None],
+            }
         else:
             checksum = jnp.sum(out.continuous[0, 0]) + jnp.sum(out.discrete[0, 0])
         return out, checksum
@@ -164,18 +180,8 @@ def bulk_sample(
         take = min(batch_size, num_jets - done)
         if collect:
             if is_transdim:
-                d = np.asarray(out.dims)[:take]
-                mask = (
-                    np.arange(out.continuous.shape[1])[None, :] < d[:, None]
-                ).astype(np.int32)[..., None]
                 chunks.append(
-                    {
-                        "continuous": np.asarray(out.continuous)[:take],
-                        "discrete": np.asarray(
-                            jnp.argmax(out.discrete, axis=-1)
-                        )[:take][..., None],
-                        "mask": mask,
-                    }
+                    {k: np.asarray(v)[:take] for k, v in out.items()}
                 )
             else:
                 chunks.append(

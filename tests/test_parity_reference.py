@@ -815,6 +815,49 @@ def test_transdimensional_net_forward_parity(ref_pkg):
     )
 
 
+def transplant_absorbing_generator(ref_gen, gen_p, blocks):
+    """torch reference AbsorbingGenerator → flax generator param tree."""
+    emb = gen_p["epic"]["embedding"]
+    _dense(emb["embedding_continuous"], ref_gen.epic.embedding.embedding_continuous)
+    emb["embedding_discrete"]["embedding"] = (
+        ref_gen.epic.embedding.embedding_discrete.weight.detach().numpy().copy()
+    )
+    epic = gen_p["epic"]["epic"]
+    proj = ref_gen.epic.epic.epic_proj
+    _wn(epic["epic_proj"]["local_0"], proj.local_0)
+    _wn(epic["epic_proj"]["global_0"], proj.global_0)
+    _wn(epic["epic_proj"]["global_1"], proj.global_1)
+    _wn(epic["epic_proj"]["global_2"], proj.global_2)
+    for i, layer in enumerate(ref_gen.epic.epic.epic_layers):
+        blk = epic[f"epic_layer_{i}"]
+        _wn(blk["fc_global1"], layer.fc_global1)
+        _wn(blk["fc_global2"], layer.fc_global2)
+        _wn(blk["fc_local1"], layer.fc_local1)
+        _wn(blk["fc_local2"], layer.fc_local2)
+    _wn(epic["output_layer"], ref_gen.epic.epic.output_layer)
+
+    if "discrete_head_mlp" in gen_p:
+        _dense(gen_p["discrete_head_mlp"]["layers_0"], ref_gen.discrete_head_mlp[0])
+        _dense(gen_p["discrete_head_mlp"]["layers_2"], ref_gen.discrete_head_mlp[2])
+
+    _dense(gen_p["temb_net"], ref_gen.temb_net)
+    _dense(gen_p["transformer_1_proj_in"], ref_gen.transformer_1_proj_in)
+    for i in range(blocks):
+        r, a = ref_gen.res_blocks[i], ref_gen.attn_blocks[i]
+        _gn(gen_p[f"res_block_{i}"]["norm1"], r.norm1)
+        _conv1(gen_p[f"res_block_{i}"]["conv1"], r.conv1)
+        _conv1(gen_p[f"res_block_{i}"]["temb_proj"], r.temb_proj)
+        _gn(gen_p[f"res_block_{i}"]["norm2"], r.norm2)
+        _conv1(gen_p[f"res_block_{i}"]["conv2"], r.conv2)
+        _gn(gen_p[f"attn_block_{i}"]["norm"], a.norm)
+        _conv1(gen_p[f"attn_block_{i}"]["q"], a.q)
+        _conv1(gen_p[f"attn_block_{i}"]["k"], a.k)
+        _conv1(gen_p[f"attn_block_{i}"]["v"], a.v)
+        _conv1(gen_p[f"attn_block_{i}"]["proj_out"], a.proj_out)
+    _dense(gen_p["pre_rate_proj"], ref_gen.pre_rate_proj)
+    _dense(gen_p["post_rate_proj"], ref_gen.post_rate_proj)
+
+
 def test_absorbing_generator_forward_parity(ref_pkg, config_path):
     """Transplanted weights ⇒ identical AbsorbingGenerator heads
     (continuous slice, discrete MLP head, survival logits) between the
@@ -870,47 +913,7 @@ def test_absorbing_generator_forward_parity(ref_pkg, config_path):
     ref_gen = RefGen(ref_cfg)
     ref_gen.eval()
 
-    # ---- transplant torch → flax
-    gen_p = params["generator"]
-    emb = gen_p["epic"]["embedding"]
-    _dense(emb["embedding_continuous"], ref_gen.epic.embedding.embedding_continuous)
-    emb["embedding_discrete"]["embedding"] = (
-        ref_gen.epic.embedding.embedding_discrete.weight.detach().numpy().copy()
-    )
-    epic = gen_p["epic"]["epic"]
-    proj = ref_gen.epic.epic.epic_proj
-    _wn(epic["epic_proj"]["local_0"], proj.local_0)
-    _wn(epic["epic_proj"]["global_0"], proj.global_0)
-    _wn(epic["epic_proj"]["global_1"], proj.global_1)
-    _wn(epic["epic_proj"]["global_2"], proj.global_2)
-    for i, layer in enumerate(ref_gen.epic.epic.epic_layers):
-        blk = epic[f"epic_layer_{i}"]
-        _wn(blk["fc_global1"], layer.fc_global1)
-        _wn(blk["fc_global2"], layer.fc_global2)
-        _wn(blk["fc_local1"], layer.fc_local1)
-        _wn(blk["fc_local2"], layer.fc_local2)
-    _wn(epic["output_layer"], ref_gen.epic.epic.output_layer)
-
-    if "discrete_head_mlp" in gen_p:
-        _dense(gen_p["discrete_head_mlp"]["layers_0"], ref_gen.discrete_head_mlp[0])
-        _dense(gen_p["discrete_head_mlp"]["layers_2"], ref_gen.discrete_head_mlp[2])
-
-    _dense(gen_p["temb_net"], ref_gen.temb_net)
-    _dense(gen_p["transformer_1_proj_in"], ref_gen.transformer_1_proj_in)
-    for i in range(blocks):
-        r, a = ref_gen.res_blocks[i], ref_gen.attn_blocks[i]
-        _gn(gen_p[f"res_block_{i}"]["norm1"], r.norm1)
-        _conv1(gen_p[f"res_block_{i}"]["conv1"], r.conv1)
-        _conv1(gen_p[f"res_block_{i}"]["temb_proj"], r.temb_proj)
-        _gn(gen_p[f"res_block_{i}"]["norm2"], r.norm2)
-        _conv1(gen_p[f"res_block_{i}"]["conv2"], r.conv2)
-        _gn(gen_p[f"attn_block_{i}"]["norm"], a.norm)
-        _conv1(gen_p[f"attn_block_{i}"]["q"], a.q)
-        _conv1(gen_p[f"attn_block_{i}"]["k"], a.k)
-        _conv1(gen_p[f"attn_block_{i}"]["v"], a.v)
-        _conv1(gen_p[f"attn_block_{i}"]["proj_out"], a.proj_out)
-    _dense(gen_p["pre_rate_proj"], ref_gen.pre_rate_proj)
-    _dense(gen_p["post_rate_proj"], ref_gen.post_rate_proj)
+    transplant_absorbing_generator(ref_gen, params["generator"], blocks)
 
     # ---- identical fixed inputs
     rng = np.random.default_rng(21)
@@ -948,3 +951,114 @@ def test_absorbing_generator_forward_parity(ref_pkg, config_path):
         np.asarray(heads.absorbing), ref_heads.absorbing.numpy(),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_absorbing_loss_parity(ref_pkg, config_path):
+    """Identical fixed bridge state + transplanted weights ⇒ identical
+    per-head absorbing losses (masked MSE-vs-drift, token CE, survival
+    BCE) and the 3-way MultiHeadLoss combine
+    (reference: absorbing/absorbing_flows.py:209-243, losses.py:21-29)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles.config_classes.absorbing_flows_config import (
+        AbsorbingConfig as RefACfg,
+    )
+    from multimodal_particles.models.generative.absorbing.absorbing_flows import (
+        AbsorbingFlow as RefFlow,
+    )
+    from multimodal_particles.models.generative.absorbing.states import (
+        AbsorbingBridgeState as RefState,
+    )
+
+    from multimodal_particles_tpu import test_resources_dir
+    from multimodal_particles_tpu.config_classes import AbsorbingConfig
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        JetsDataloaderModule,
+    )
+    from multimodal_particles_tpu.models.generative.absorbing.absorbing_flows import (
+        AbsorbingFlow,
+    )
+    from multimodal_particles_tpu.models.generative.absorbing.states import (
+        AbsorbingBridgeState,
+    )
+    from multimodal_particles_tpu.utils.losses import multihead_loss
+
+    abs_cfg_path = os.path.join(
+        test_resources_dir, "configs_files", "config-absorbing-test.yaml"
+    )
+    Np, Bt, C, blocks = 24, 4, 32, 1
+    cfg = AbsorbingConfig.from_yaml(abs_cfg_path)
+    cfg.data.batch_size = Bt
+    cfg.data.max_num_particles = Np
+    cfg.generator.transformer_dim = C
+    cfg.generator.n_attn_blocks = blocks
+
+    model = AbsorbingFlow(cfg)
+    rng = np.random.default_rng(33)
+    batch_np = JetsDataloaderModule.random_databatch(cfg)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    params = jax.device_get(model.init(jax.random.PRNGKey(0), batch))
+
+    torch.manual_seed(0)
+    ref_cfg = RefACfg.from_yaml(abs_cfg_path)
+    ref_cfg.data.batch_size = Bt
+    ref_cfg.data.max_num_particles = Np
+    ref_cfg.generator.transformer_dim = C
+    ref_cfg.generator.n_attn_blocks = blocks
+    ref_model = RefFlow(ref_cfg)
+    ref_model.eval()
+
+    transplant_absorbing_generator(
+        ref_model.generator, params["generator"], blocks
+    )
+    params["loss_weights"] = (
+        ref_model.loss_multihead.weights.detach().numpy().copy()
+    )
+
+    # fixed bridge state (same arrays both sides)
+    t = np.random.default_rng(5).uniform(0.1, 0.9, (Bt, 1, 1)).astype(np.float32)
+    x = rng.standard_normal((Bt, Np, 3)).astype(np.float32)
+    k = rng.integers(0, 8, (Bt, Np, 1))
+    mask_t = (rng.random((Bt, Np, 1)) < 0.7).astype(np.int64)
+
+    state = AbsorbingBridgeState(
+        time=jnp.asarray(t),
+        continuous=jnp.asarray(x),
+        discrete=jnp.asarray(k),
+        mask_t=jnp.asarray(mask_t, jnp.int32),
+    )
+    heads = model.forward(params, state, batch)
+    l_cont = float(model.loss_continuous(heads, state, batch))
+    l_disc = float(model.loss_discrete(heads, batch))
+    l_abs = float(model.loss_absorbing(heads, batch))
+    combined = float(
+        multihead_loss(
+            jnp.asarray(params["loss_weights"]),
+            [l_cont, l_disc, l_abs],
+        )[0]
+    )
+
+    ref_state = RefState(
+        time=torch.from_numpy(t),
+        continuous=torch.from_numpy(x),
+        discrete=torch.from_numpy(k),
+        mask_t=torch.from_numpy(mask_t),
+    )
+    ref_batch = _to_torch_batch(batch_np)
+    with torch.no_grad():
+        ref_heads = ref_model.generator(ref_state, ref_batch)
+        rl_cont = float(ref_model.loss_continuous(ref_heads, ref_state, ref_batch))
+        rl_disc = float(ref_model.loss_discrete(ref_heads, ref_batch))
+        rl_abs = float(ref_model.loss_absorbing(ref_heads, ref_batch))
+        r_combined = float(
+            ref_model.loss_multihead([
+                torch.tensor(rl_cont), torch.tensor(rl_disc),
+                torch.tensor(rl_abs),
+            ])[0]
+        )
+
+    np.testing.assert_allclose(l_cont, rl_cont, rtol=1e-4)
+    np.testing.assert_allclose(l_disc, rl_disc, rtol=1e-4)
+    np.testing.assert_allclose(l_abs, rl_abs, rtol=1e-4)
+    np.testing.assert_allclose(combined, r_combined, rtol=1e-4)

@@ -130,6 +130,15 @@ class SamplerKwargs:
     # diverging tail trajectory cannot poison its jet (data is
     # standardized, O(1); None = reference behavior, no clamping).
     clip_lats: Optional[float] = None
+    # Max births per solver step. The reference's jump step births at most
+    # ONE particle per step (sampler.py:237-255), so its step count must
+    # scale with the target multiplicity (~1000 steps for ~46-particle
+    # jets). >1 enables the tau-leaped multi-birth chain: with the step's
+    # x0-dim logits frozen, the per-level birth rates r(dims..dims+K-1)
+    # are computed up front and the pure-birth chain's exponential waiting
+    # times are sampled exactly — at dt→0 (or multi_birth=1) this reduces
+    # to the reference semantics.
+    multi_birth: int = 16
 
 
 @dataclass
@@ -190,6 +199,18 @@ class AugmentKwargs:
 
 @dataclass
 class TransdimensionalEpicConfig:
+    """Typed config tree for the transdimensional family.
+
+    Reference YAMLs load unchanged, but two DEFAULTS deliberately diverge
+    from reference semantics because the reference combination never
+    produced a working generator (its loss test is skipped upstream):
+    ``loss_kwargs.score_loss_normalization`` defaults to ``"live"`` (not
+    the reference's ``"dims"``) and
+    ``encoder.embedding_features_discrete`` defaults to ``"Linear"`` (not
+    ``"Embedding"``). Set both to the reference values for exact reference
+    semantics — the torch-golden parity tests pin that mode explicitly.
+    """
+
     data: JetsDataConfig = field(default_factory=JetsDataConfig)
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
 

@@ -247,3 +247,58 @@ def get_rate_using_x0_pred(x0_dim_logits, xt_dims, forward_rate, ts, max_dim):
     return forward_rate.get_rate(dims=None, ts=ts) * jnp.sum(
         ratios * x0_dim_probs, axis=1
     )
+
+
+def get_birth_rates_for_offsets(
+    x0_dim_logits, base_dims, num_offsets, forward_rate, ts, max_dim
+):
+    """Reverse birth rates at candidate dims d = base_dims + j for
+    j = 0..num_offsets-1, with the x0-dimension logits FROZEN — the rate
+    ladder a tau-leaped multi-birth step climbs within one solver interval
+    (a TPU-first redesign of the reference's ≤1-birth-per-step structure,
+    reference: models/generative/transdimensional/sampler.py:237-255).
+
+    Column j=0 is exactly ``get_rate_using_x0_pred`` (including its d==1
+    truncated-logsumexp branch). Columns j≥1 always have d ≥ 2, where the
+    rate reduces to
+
+        rev(d) = f(t)/λ(t) · Σ_{d0 ≥ d} (d0 − d) p(d0|x) / Σ_{d0 ≥ d} p(d0|x)
+
+    — a pair of suffix sums over the logit axis evaluated at each candidate
+    d by gather, O(B·D) total instead of O(B·K·D).
+
+    Args:
+      x0_dim_logits: (B, max_dim) logits over x0 dimension (d0 = 1..max_dim).
+      base_dims:     (B,) current dimensions (≥ 1).
+      num_offsets:   static int K ≥ 1.
+      ts:            (B,) times.
+    Returns:
+      (B, K) nonnegative rates; exactly 0 at candidates d ≥ max_dim (births
+      from a full state are impossible).
+    """
+    B, D = x0_dim_logits.shape
+    base_dims = base_dims.astype(jnp.int32)
+    rate0 = get_rate_using_x0_pred(
+        x0_dim_logits, base_dims, forward_rate, ts, max_dim
+    )  # (B,)
+    if num_offsets == 1:
+        return rate0[:, None]
+
+    # suffix sums of e_{d0} and d0·e_{d0} (max-subtracted for stability)
+    dx0range = jnp.arange(1, D + 1, dtype=x0_dim_logits.dtype)  # (D,)
+    e = jnp.exp(x0_dim_logits - jnp.max(x0_dim_logits, axis=1, keepdims=True))
+    s1 = jnp.cumsum(e[:, ::-1], axis=1)[:, ::-1]  # (B, D): Σ_{d0 ≥ d} e
+    s2 = jnp.cumsum((e * dx0range[None, :])[:, ::-1], axis=1)[:, ::-1]
+
+    cand = base_dims[:, None] + jnp.arange(1, num_offsets)[None, :]  # (B, K-1)
+    idx = jnp.clip(cand - 1, 0, D - 1)  # d0-axis slot of d0 = cand
+    s1_at = jnp.take_along_axis(s1, idx, axis=1)
+    s2_at = jnp.take_along_axis(s2, idx, axis=1)
+    expect = jnp.clip(s2_at - cand.astype(s2_at.dtype) * s1_at, 0.0, None)
+    expect = expect / jnp.clip(s1_at, 1e-30, None)
+
+    lam = forward_rate.get_rate_integral(ts)  # (B,)
+    f_rate = forward_rate.get_rate(dims=None, ts=ts)  # (B,)
+    rates = (f_rate / jnp.clip(lam, 1e-30, None))[:, None] * expect
+    rates = jnp.where(cand < max_dim, rates, 0.0)
+    return jnp.concatenate([rate0[:, None], rates], axis=1)

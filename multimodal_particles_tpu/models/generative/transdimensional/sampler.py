@@ -163,12 +163,12 @@ class JumpSampler:
         sample_near = bool(cfg.sample_near_atom)
 
         def get_score(state, t_b, key_net):
-            """(score, rate_xt, mean_std): plain or reconstruction-guided
-            (reference: sampler.py:90-155)."""
+            """(score, rate_xt, mean_std, x0_dim_logits): plain or
+            reconstruction-guided (reference: sampler.py:90-155)."""
             if condition is None:
                 # fused Pallas forward (forward-only; the conditioned branch
                 # below differentiates through net_forward and stays flax)
-                D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
+                D_eps, rate_xt, mean_std, x0_logits, _, _ = model.net_forward(
                     params,
                     state,
                     t_b,
@@ -182,13 +182,13 @@ class JumpSampler:
                     state.get_flat_lats(), t_b
                 )
                 score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * D_eps
-                return score, rate_xt, mean_std
+                return score, rate_xt, mean_std, x0_logits
 
             xt = state.get_flat_lats()
 
             def weighted_l2(x_flat):
                 state_x = state.set_flat_lats(x_flat)
-                D_eps, rate_xt, mean_std, _, _, _ = model.net_forward(
+                D_eps, rate_xt, mean_std, x0_logits, _, _ = model.net_forward(
                     params,
                     state_x,
                     t_b,
@@ -212,9 +212,9 @@ class JumpSampler:
                     jnp.ones_like(x_flat), t_b
                 )[0][:, 0]
                 weighted = -0.5 * cfg.guidance_weight * alpha_t * l2
-                return jnp.sum(weighted), (x0_pred, rate_xt, mean_std)
+                return jnp.sum(weighted), (x0_pred, rate_xt, mean_std, x0_logits)
 
-            (_, (x0_pred, rate_xt, mean_std)), guidance_grad = (
+            (_, (x0_pred, rate_xt, mean_std, x0_logits)), guidance_grad = (
                 jax.value_and_grad(weighted_l2, has_aux=True)(xt)
             )
 
@@ -230,7 +230,7 @@ class JumpSampler:
             )
             _, std_p0t = noise_schedule.get_p0t_stats(xt, t_b)
             score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * eps_pred
-            return score, rate_xt, mean_std
+            return score, rate_xt, mean_std, x0_logits
 
         def diffusion_and_jump(state, t_b, dt, will_finish, no_noise_gate, key):
             """One EM + birth move; returns (new state, per-step diagnostics)."""
@@ -240,7 +240,7 @@ class JumpSampler:
             beta_row = noise_schedule.get_beta_t(t_b)  # (B, N)
             beta = state.convert_problem_dim_to_tensor_dim(beta_row)  # (B, D)
 
-            score, rate_xt, mean_std = get_score(state, t_b, key_net)
+            score, rate_xt, mean_std, x0_logits = get_score(state, t_b, key_net)
 
             mask = state.get_mask_flat()
             xt = state.get_flat_lats()
@@ -257,20 +257,90 @@ class JumpSampler:
             state = state.set_flat_lats(xt)
             state, _ = adjust_state(state)
 
-            # --- birth jump
-            u = jax.random.uniform(key_jump, (B,))
-            increase = (u < rate_xt[:, 0] * dt) & (state.dims < max_problem_dim)
-
-            next_mask = state.get_next_dim_added_mask()
             mean, std_raw = mean_std
-            std = jax.nn.softplus(std_raw)
-            new_values = next_mask * (
-                mean + jax.random.normal(key_new, std.shape) * std
-            )
-            xt = state.get_flat_lats()
-            xt_b = xt * (1.0 - next_mask) + new_values
-            xt = jnp.where(increase[:, None], xt_b, xt)
-            new_dims = state.dims + increase.astype(jnp.int32)
+            K = max(int(getattr(cfg, "multi_birth", 1)), 1)
+            if K > 1:
+                # --- tau-leaped multi-birth jump: with the step's x0-dim
+                # logits frozen, the reverse birth process over [t-dt, t] is
+                # a pure-birth chain whose per-level rates r(dims+j) are all
+                # computable up front; sampling its exponential waiting
+                # times exactly gives the number of births this step. This
+                # removes the ≤1-birth-per-step floor that forces the
+                # reference's step count to scale with multiplicity
+                # (reference: sampler.py:237-255).
+                if getattr(model.config.encoder, "rate_use_x0_pred", False):
+                    from multimodal_particles_tpu.models.generative.diffusion.noising import (
+                        get_birth_rates_for_offsets,
+                    )
+
+                    rates = get_birth_rates_for_offsets(
+                        x0_logits, state.dims, K, forward_rate, t_b,
+                        max_problem_dim,
+                    )  # (B, K)
+                else:
+                    cand = state.dims[:, None] + jnp.arange(K)[None, :]
+                    rates = jnp.where(
+                        cand < max_problem_dim,
+                        jnp.broadcast_to(rate_xt, (B, K)),
+                        0.0,
+                    )
+                u = jax.random.uniform(
+                    key_jump, (B, K), minval=jnp.finfo(jnp.float32).tiny
+                )
+                dtau = jnp.where(
+                    rates > 0.0, -jnp.log(u) / jnp.clip(rates, 1e-20, None),
+                    jnp.inf,
+                )
+                births = jnp.sum(
+                    jnp.cumsum(dtau, axis=1) < dt, axis=1
+                ).astype(jnp.int32)
+                new_dims = jnp.minimum(state.dims + births, max_problem_dim)
+                added_mask = state.get_mask_flat(new_dims) - state.get_mask_flat(
+                    state.dims
+                )
+                # recover the per-sample broadcast creation stats from the
+                # slot-masked arrays (they are constant across rows — the
+                # creation head emits one mean/std per sample; exactly one
+                # row of the next-dim mask is live) and draw each new
+                # particle i.i.d. from N(mean, softplus(std_raw))
+                N_, Dc, V = state.N, state.Dc, state.V
+
+                def _bcast(flat):
+                    c = flat[:, : N_ * Dc].reshape(B, N_, Dc).sum(axis=1)
+                    d = flat[:, N_ * Dc :].reshape(B, N_, V).sum(axis=1)
+                    return jnp.concatenate(
+                        [
+                            jnp.broadcast_to(c[:, None, :], (B, N_, Dc)).reshape(B, -1),
+                            jnp.broadcast_to(d[:, None, :], (B, N_, V)).reshape(B, -1),
+                        ],
+                        axis=1,
+                    )
+
+                mean_b = _bcast(mean)
+                std_b = jax.nn.softplus(_bcast(std_raw))
+                new_values = added_mask * (
+                    mean_b + jax.random.normal(key_new, mean_b.shape) * std_b
+                )
+                xt = state.get_flat_lats()
+                xt = xt * (1.0 - added_mask) + new_values
+                birth_stat = jnp.mean(births.astype(jnp.float32))
+            else:
+                # --- reference single-birth jump semantics
+                u = jax.random.uniform(key_jump, (B,))
+                increase = (u < rate_xt[:, 0] * dt) & (
+                    state.dims < max_problem_dim
+                )
+
+                next_mask = state.get_next_dim_added_mask()
+                std = jax.nn.softplus(std_raw)
+                new_values = next_mask * (
+                    mean + jax.random.normal(key_new, std.shape) * std
+                )
+                xt = state.get_flat_lats()
+                xt_b = xt * (1.0 - next_mask) + new_values
+                xt = jnp.where(increase[:, None], xt_b, xt)
+                new_dims = state.dims + increase.astype(jnp.int32)
+                birth_stat = jnp.mean(increase.astype(jnp.float32))
 
             if cfg.clip_lats is not None:
                 # robustness clamp (opt-in, beyond the reference): bound the
@@ -284,7 +354,7 @@ class JumpSampler:
             # (max_abs_x, mean_dims) are added by the step wrappers AFTER
             # any corrector moves so they describe the step's final state
             diag = {
-                "birth_frac": jnp.mean(increase.astype(jnp.float32)),
+                "birth_frac": birth_stat,
                 "rate_mean": jnp.mean(rate_xt[:, 0]),
             }
             return state, diag
@@ -300,7 +370,7 @@ class JumpSampler:
             beta_row = noise_schedule.get_beta_t(t_b)
             beta = state.convert_problem_dim_to_tensor_dim(beta_row)
 
-            score, rate_xt, mean_std = get_score(state, t_b, key_net)
+            score, rate_xt, mean_std, _x0_logits = get_score(state, t_b, key_net)
 
             mask = state.get_mask_flat()
             xt = state.get_flat_lats()

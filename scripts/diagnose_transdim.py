@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--print-every", type=int, default=50)
     ap.add_argument("--no-fused", action="store_true",
                     help="force the flax (non-Pallas) network forward")
+    ap.add_argument("--sampler-steps", type=int, default=None,
+                    help="override the config's 1/dt step count")
+    ap.add_argument("--multi-birth", type=int, default=None,
+                    help="override sampler_kwargs.multi_birth (1 = "
+                         "reference single-birth semantics)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +55,10 @@ def main():
     config.data.num_jets = 100
     if args.no_fused:
         config.parallel.use_pallas = False
+    if args.sampler_steps:
+        config.sampler_kwargs.dt = 1.0 / args.sampler_steps
+    if args.multi_birth is not None:
+        config.sampler_kwargs.multi_birth = args.multi_birth
 
     experiment = TransdimensionalExperiment(config, experiment_dir=None)
     with open(os.path.join(args.workdir, "trained_params.pkl"), "rb") as f:

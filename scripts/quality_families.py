@@ -205,6 +205,15 @@ def run_transdimensional(args):
     from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
         TransdimensionalEpicConfig,
     )
+    from multimodal_particles_tpu.data.particle_clouds.jets import (
+        JetClassHighLevelFeatures,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.particles import (
+        ParticleClouds,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional import (
+        TransdimensionalJumpDiffusion,
+    )
     from multimodal_particles_tpu.models.generative.transdimensional.structure import (
         DistributionNodes,
     )
@@ -214,8 +223,12 @@ def run_transdimensional(args):
 
     config = TransdimensionalEpicConfig()
     config.data.num_jets = 100
-    if args.sampler_steps:
-        config.sampler_kwargs.dt = 1.0 / args.sampler_steps
+    # headline operating point: the tau-leaped multi-birth solver at 128
+    # steps (config default multi_birth=16); the reference's ≤1-birth-per-
+    # step structure needs ~1000 steps for ~46-particle jets and is scored
+    # separately below as the reference-mode anchor
+    headline_steps = args.sampler_steps or 128
+    config.sampler_kwargs.dt = 1.0 / headline_steps
     # Loss balance for a usable generator: at the reference's default
     # weights the objective is ~92% creation-NLL (the forward rate's ~150x
     # ELBO factor), the x0-dim classifier CE and rate terms get ~0.1%, and
@@ -264,73 +277,126 @@ def run_transdimensional(args):
         else None,
         template,
     )
-    predict = jax.jit(model.predict)
-    key = jax.random.PRNGKey(args.seed + 2)
-    dims_gen, pt_gen = [], []
-    t0 = time.time()
-    n = 0
-    r = 0
-    while n < args.gen_jets:
-        out = predict(params, template, jax.random.fold_in(key, r))
-        r += 1
-        # truncate each chunk to the remaining quota so the multiplicity
-        # and constituent metrics score the SAME first gen_jets jets
-        take = min(np.asarray(out.dims).shape[0], args.gen_jets - n)
-        d = np.asarray(out.dims)[:take]
-        dims_gen.append(d)
-        x = np.asarray(out.continuous)[:take]  # standardized (B, N, 3)
-        alive = np.arange(x.shape[1])[None, :] < d[:, None]
-        pt_gen.append(x[..., 0][alive])
-        n += take
-    gen_s = time.time() - t0
-    dims_gen = np.concatenate(dims_gen)
-    print(f"[transdim] generated {args.gen_jets} jets in {gen_s:.1f}s")
 
+    N = config.data.max_num_particles
     mult_data = np.asarray(
         experiment.datamodule.dataset.target_mask[..., 0].sum(1)
     ).astype(np.int64)
-    N = config.data.max_num_particles
     hist = {int(k): int(v) for k, v in zip(*np.unique(mult_data, return_counts=True))}
     prior = DistributionNodes(hist)
     prior_key = jax.random.PRNGKey(args.seed + 3)
     dims_prior = np.asarray(prior.sample(prior_key, args.gen_jets))
-
-    metrics = {
-        "mult_mean_gen": round(float(dims_gen.mean()), 3),
-        "mult_std_gen": round(float(dims_gen.std()), 3),
-        "mult_mean_data": round(float(mult_data.mean()), 3),
-        "mult_std_data": round(float(mult_data.std()), 3),
-        "KL_mult_gen_vs_data": round(_hist_kl(dims_gen, mult_data, 0, N), 4),
-        "KL_mult_gen_vs_prior": round(_hist_kl(dims_gen, dims_prior, 0, N), 4),
-        # mean prior log-likelihood of generated dims vs of the data's own
-        # multiplicities: how plausible the birth-jump counts are under the
-        # DistributionNodes prior the reference uses as its target
-        "prior_logp_gen": round(
-            float(np.mean(np.asarray(prior.log_prob(np.clip(dims_gen, 1, N))))), 4
-        ),
-        "prior_logp_data": round(
-            float(np.mean(np.asarray(prior.log_prob(mult_data)))), 4
-        ),
-        "W1_mult_gen_vs_data": round(_w1(dims_gen, mult_data), 4),
-    }
-    # constituent-pt marginal in standardized space (the transdim model
-    # trains/generates in preprocessed coordinates). A small fraction of
-    # trajectories can diverge through the creation-head feedback loop
-    # (births anchored at an already-exploded nearest particle); report the
-    # diverged fraction and score the marginal on the non-diverged jets so
-    # one exploded jet cannot dominate the W1.
     x_data = np.asarray(experiment.datamodule.dataset.target_continuous)
     m_data = np.asarray(experiment.datamodule.dataset.target_mask[..., 0]) > 0
     pt_data = x_data[..., 0][m_data]
-    pt_per_jet = pt_gen  # list of per-call 1-D alive-constituent arrays
-    pt_gen = np.concatenate(pt_per_jet)
-    finite = np.abs(pt_gen) < 50.0  # standardized units; data is O(1)
-    metrics["diverged_constituent_frac"] = round(float(1.0 - finite.mean()), 5)
-    metrics["pt_median_gen"] = round(float(np.median(pt_gen)), 4)
-    metrics["pt_median_data"] = round(float(np.median(pt_data)), 4)
-    if finite.any():
-        metrics["W1_pt_standardized"] = round(_w1(pt_gen[finite], pt_data), 4)
-    metrics["pt_mean_data"] = round(float(pt_data.mean()), 4)
+
+    data_cloud = copy.deepcopy(experiment.datamodule.dataclass.target)
+    data_cloud.postprocess(
+        input_continuous=config.data.target_preprocess_continuous,
+        input_discrete=config.data.target_preprocess_discrete,
+        stats=config.data.target_preprocess_stats,
+    )
+    hl_data = JetClassHighLevelFeatures(data_cloud)
+    features = ["pt", "m", "eta", "phi", "multiplicity", "Q_total", "Q_jet",
+                "tau21", "tau32", "d2"]
+
+    def generate(steps, multi_birth):
+        """Sample gen_jets jets at the given solver setting; returns
+        (dims (G,), continuous (G,N,3) standardized, tokens (G,N,1),
+        wall seconds)."""
+        cfg2 = copy.deepcopy(config)
+        cfg2.sampler_kwargs.dt = 1.0 / steps
+        cfg2.sampler_kwargs.multi_birth = multi_birth
+        model2 = TransdimensionalJumpDiffusion(cfg2, experiment.datamodule)
+        predict = jax.jit(model2.predict)
+        key = jax.random.PRNGKey(args.seed + 2)
+        dims_l, cont_l, tok_l = [], [], []
+        t0 = time.time()
+        n, r = 0, 0
+        while n < args.gen_jets:
+            out = predict(params, template, jax.random.fold_in(key, r))
+            r += 1
+            # truncate each chunk to the remaining quota so every metric
+            # scores the SAME first gen_jets jets
+            take = min(np.asarray(out.dims).shape[0], args.gen_jets - n)
+            dims_l.append(np.asarray(out.dims)[:take])
+            cont_l.append(np.asarray(out.continuous)[:take])
+            tok_l.append(np.argmax(np.asarray(out.discrete)[:take], axis=-1))
+            n += take
+        gen_s = time.time() - t0
+        print(f"[transdim] generated {args.gen_jets} jets in {gen_s:.1f}s "
+              f"({steps} steps, multi_birth={multi_birth})")
+        return (
+            np.concatenate(dims_l),
+            np.concatenate(cont_l),
+            np.concatenate(tok_l)[..., None],
+            gen_s,
+        )
+
+    def score_setting(dims_gen, cont, tokens, gen_s, steps, multi_birth):
+        metrics = {
+            "mult_mean_gen": round(float(dims_gen.mean()), 3),
+            "mult_std_gen": round(float(dims_gen.std()), 3),
+            "mult_mean_data": round(float(mult_data.mean()), 3),
+            "mult_std_data": round(float(mult_data.std()), 3),
+            "KL_mult_gen_vs_data": round(_hist_kl(dims_gen, mult_data, 0, N), 4),
+            "KL_mult_gen_vs_prior": round(_hist_kl(dims_gen, dims_prior, 0, N), 4),
+            # mean prior log-likelihood of generated dims vs of the data's
+            # own multiplicities: how plausible the birth-jump counts are
+            # under the DistributionNodes prior the reference targets
+            "prior_logp_gen": round(
+                float(np.mean(np.asarray(prior.log_prob(np.clip(dims_gen, 1, N))))), 4
+            ),
+            "prior_logp_data": round(
+                float(np.mean(np.asarray(prior.log_prob(mult_data)))), 4
+            ),
+            "W1_mult_gen_vs_data": round(_w1(dims_gen, mult_data), 4),
+        }
+        # constituent-pt marginal in standardized space. A small fraction of
+        # trajectories can diverge through the creation-head feedback loop
+        # (births anchored at an already-exploded nearest particle); report
+        # the diverged fraction, score the marginal on non-diverged
+        # constituents, and drop diverged JETS from the physics cloud so one
+        # exploded jet cannot dominate the KL/W1 table.
+        alive = np.arange(N)[None, :] < dims_gen[:, None]
+        pt_gen = cont[..., 0][alive]
+        finite = np.abs(pt_gen) < 50.0  # standardized units; data is O(1)
+        metrics["diverged_constituent_frac"] = round(float(1.0 - finite.mean()), 5)
+        metrics["pt_median_gen"] = round(float(np.median(pt_gen)), 4)
+        metrics["pt_median_data"] = round(float(np.median(pt_data)), 4)
+        if finite.any():
+            metrics["W1_pt_standardized"] = round(_w1(pt_gen[finite], pt_data), 4)
+        metrics["pt_mean_data"] = round(float(pt_data.mean()), 4)
+
+        # full physics scoring in physical units (VERDICT r2 #3): the same
+        # postprocess → JetClassHighLevelFeatures KL/W1 suite the reference
+        # evaluates with (reference: data/particle_clouds/jets.py:86-332)
+        jet_ok = np.abs(cont[..., 0] * alive).max(axis=1) < 50.0
+        gen_cloud = state_to_cloud(
+            cont[jet_ok],
+            tokens[jet_ok],
+            alive[jet_ok][..., None].astype(np.int64),
+            config.data.target_preprocess_stats,
+            ParticleClouds,
+        )
+        physics = score(JetClassHighLevelFeatures(gen_cloud), hl_data, features)
+        physics["scored_jet_fraction"] = round(float(jet_ok.mean()), 5)
+        return {
+            "sampler_steps": steps,
+            "multi_birth": multi_birth,
+            "gen_wall_s": round(gen_s, 1),
+            "metrics": metrics,
+            "physics_metrics": physics,
+        }
+
+    headline_mb = config.sampler_kwargs.multi_birth
+    headline = score_setting(
+        *generate(headline_steps, headline_mb), headline_steps, headline_mb
+    )
+    # reference-mode anchor: the ≤1-birth-per-step solver at its own
+    # quality-valid step count (the reference structure being redesigned:
+    # models/generative/transdimensional/sampler.py:237-255)
+    ref_mode = score_setting(*generate(1000, 1), 1000, 1)
 
     return {
         "family": "transdimensional",
@@ -340,20 +406,26 @@ def run_transdimensional(args):
             "O(1)-balanced CE/rate weights, run-length-scaled lr/EMA — see "
             "the config block in run_transdimensional); sampling starts at "
             "dims=1, x~N(0,I) and births particles via the learned jump "
-            "rate; the generated multiplicity distribution is scored "
-            "against the data histogram and the DistributionNodes prior"
+            "rate. Headline = tau-leaped multi-birth solver; "
+            "reference_mode = single-birth at 1000 steps. Scored on "
+            "multiplicity (data + DistributionNodes prior), standardized "
+            "constituent pt, and the full physical-unit KL/W1 observable "
+            "suite"
         ),
         "config": (
             "TransdimensionalEpicConfig + ce_w=200 rate_w=100 lr=1e-3 "
             "ema_halflife_kimg=10 (AOJ mini, 100 jets)"
         ),
         "epochs": args.epochs,
-        "sampler_steps": int(round(1.0 / config.sampler_kwargs.dt)),
+        "sampler_steps": headline["sampler_steps"],
+        "multi_birth": headline["multi_birth"],
         "gen_jets": args.gen_jets,
         "final_train_loss": round(final["train_loss"], 4),
         "train_wall_s": round(train_s, 1),
-        "gen_wall_s": round(gen_s, 1),
-        "metrics": metrics,
+        "gen_wall_s": headline["gen_wall_s"],
+        "metrics": headline["metrics"],
+        "physics_metrics": headline["physics_metrics"],
+        "reference_mode_1000step_single_birth": ref_mode,
     }
 
 

@@ -47,6 +47,27 @@ from multimodal_particles_tpu.models.generative.transdimensional.structure impor
 )
 
 
+def sample_birth_chain(key, rates, dt):
+    """Exact pure-birth chain over one interval with frozen per-level rates.
+
+    Level j's waiting time is Exp(rates[:, j]); the number of births is how
+    many cumulative waiting times fit inside dt. A zero rate at level j
+    stops the chain there. With constant rates this is a Poisson(r·dt)
+    count truncated at K = rates.shape[1].
+
+    Args:
+      rates: (B, K) nonnegative per-level birth rates.
+      dt: scalar interval length.
+    Returns:
+      (B,) int32 birth counts in [0, K].
+    """
+    u = jax.random.uniform(key, rates.shape, minval=jnp.finfo(jnp.float32).tiny)
+    dtau = jnp.where(
+        rates > 0.0, -jnp.log(u) / jnp.clip(rates, 1e-20, None), jnp.inf
+    )
+    return jnp.sum(jnp.cumsum(dtau, axis=1) < dt, axis=1).astype(jnp.int32)
+
+
 def _build_time_grid(cfg):
     """Host-side: executed ts values + per-step dt/will_finish/corrector
     flags, mirroring the reference loop structure (sampler.py:194-319)."""
@@ -284,16 +305,7 @@ class JumpSampler:
                         jnp.broadcast_to(rate_xt, (B, K)),
                         0.0,
                     )
-                u = jax.random.uniform(
-                    key_jump, (B, K), minval=jnp.finfo(jnp.float32).tiny
-                )
-                dtau = jnp.where(
-                    rates > 0.0, -jnp.log(u) / jnp.clip(rates, 1e-20, None),
-                    jnp.inf,
-                )
-                births = jnp.sum(
-                    jnp.cumsum(dtau, axis=1) < dt, axis=1
-                ).astype(jnp.int32)
+                births = sample_birth_chain(key_jump, rates, dt)
                 new_dims = jnp.minimum(state.dims + births, max_problem_dim)
                 added_mask = state.get_mask_flat(new_dims) - state.get_mask_flat(
                     state.dims

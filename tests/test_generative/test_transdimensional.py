@@ -483,3 +483,90 @@ def test_sampler_reconstruction_guidance(datamodule):
     np.testing.assert_allclose(
         np.asarray(jit_cont), np.asarray(final_c.continuous), rtol=2e-4, atol=2e-4
     )
+
+
+def test_birth_chain_poisson_statistics():
+    """With constant per-level rates the exact birth chain's counts are
+    Poisson(r·dt) (truncated at K): mean/variance match and P(k≥1) equals
+    1 − exp(−r·dt)."""
+    from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
+        sample_birth_chain,
+    )
+
+    B, K, r, dt = 200_000, 24, 30.0, 0.1  # λ = 3, K >> λ so truncation ~0
+    rates = jnp.full((B, K), r)
+    births = np.asarray(sample_birth_chain(jax.random.PRNGKey(0), rates, dt))
+    lam = r * dt
+    assert abs(births.mean() - lam) < 0.03 * lam
+    assert abs(births.var() - lam) < 0.05 * lam
+    p_ge1 = 1.0 - np.exp(-lam)
+    assert abs((births >= 1).mean() - p_ge1) < 0.01
+
+    # zero rate at a level stops the chain there
+    rates = rates.at[:, 2:].set(0.0)
+    births = np.asarray(sample_birth_chain(jax.random.PRNGKey(1), rates, dt))
+    assert births.max() <= 2
+
+
+def test_birth_rates_for_offsets_match_single():
+    """Column j of get_birth_rates_for_offsets equals the (torch-golden)
+    get_rate_using_x0_pred at dims+j, and rates at/above capacity are 0."""
+    from multimodal_particles_tpu.models.generative.diffusion.noising import (
+        StepForwardRate,
+        get_birth_rates_for_offsets,
+        get_rate_using_x0_pred,
+    )
+
+    B, D, K = 16, 64, 8
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((B, D)) * 3, jnp.float32)
+    dims = jnp.asarray(rng.integers(1, D, B), jnp.int32)
+    ts = jnp.asarray(rng.uniform(0.05, 1.0, B), jnp.float32)
+    fr = StepForwardRate(max_dim=D, rate_cut_t=0.1)
+
+    multi = np.asarray(get_birth_rates_for_offsets(logits, dims, K, fr, ts, D))
+    for j in range(K):
+        cand = np.asarray(dims) + j
+        direct = np.asarray(
+            get_rate_using_x0_pred(logits, jnp.minimum(dims + j, D), fr, ts, D)
+        )
+        live = cand < D
+        np.testing.assert_allclose(
+            multi[live, j], direct[live], rtol=5e-4, atol=1e-5
+        )
+        assert (multi[~live, j] == 0.0).all()
+    assert (multi >= 0.0).all()
+
+
+def test_multi_birth_sampler_beats_step_floor(model_and_batch):
+    """At a step count far below the data's multiplicity, the multi-birth
+    solver reaches dims the single-birth solver cannot (its hard ceiling is
+    init 1 + one birth per step), under identical params/key."""
+    import copy
+
+    cfg, model, params, state = model_and_batch
+    steps = 6
+    cfg_multi = copy.deepcopy(cfg)
+    cfg_multi.sampler_kwargs.dt = 1.0 / steps
+    cfg_multi.sampler_kwargs.multi_birth = 16
+    cfg_single = copy.deepcopy(cfg_multi)
+    cfg_single.sampler_kwargs.multi_birth = 1
+
+    key = jax.random.PRNGKey(5)
+    dm = None
+    multi = TransdimensionalJumpDiffusion(cfg_multi, dm)
+    single = TransdimensionalJumpDiffusion(cfg_single, dm)
+    out_m, nfe_m = jax.jit(lambda p, k: multi.sample(p, k, state))(params, key)
+    out_s, nfe_s = (
+        jax.jit(lambda p, k: single.sample(p, k, state))(params, key)
+    )
+    d_m, d_s = np.asarray(out_m.dims), np.asarray(out_s.dims)
+    assert nfe_m == nfe_s, "multi-birth must not add network evaluations"
+    assert (d_s <= 1 + steps).all(), "single-birth ceiling violated"
+    assert (d_m >= 1).all() and (d_m <= state.N).all()
+    assert d_m.mean() > d_s.mean(), (
+        "multi-birth should birth more particles per step below the floor"
+    )
+    # padding contract: rows at/above dims are zeroed
+    alive = np.arange(state.N)[None, :] < d_m[:, None]
+    assert np.abs(np.asarray(out_m.continuous) * ~alive[..., None]).max() == 0.0

@@ -28,26 +28,21 @@ from multimodal_particles_tpu.models.generative.transdimensional.structure impor
 )
 
 
-def add_noise(state: StructuredState, noise_schedule, forward_rate, min_t, key):
-    """Forward corruption: delete dims via Poisson(∫rate), CoM-adjust, then
-    VP-noise the survivors (reference: loss.py:17-50).
+def corrupt_with(state: StructuredState, noise_schedule, ts, dims_xt, noise_raw):
+    """Deterministic corruption core given the random draws: delete dims to
+    dims_xt, CoM-adjust, then VP-noise the survivors with noise_raw
+    (reference: loss.py:17-50). Split out of `add_noise` so torch-golden
+    tests can drive both implementations with identical draws.
 
-    Returns (noised_state, ts, x0_dims, dims_xt, noise_flat, x_flat)."""
-    B = state.B
-    key_t, key_dims, key_noise = jax.random.split(key, 3)
+    Returns (noised_state, ts, x0_dims, dims_xt, noise_flat, x_flat, std)."""
     x0_dims = state.dims
-
-    ts = min_t + (1.0 - min_t) * jax.random.uniform(key_t, (B,))
-
-    dims_xt = forward_rate.get_dims_at_t(key_dims, start_dims=x0_dims, ts=ts)
     state = state.delete_dims(dims_xt)
     state, _ = adjust_state(state)
 
     x = state.get_flat_lats()
     mean, std = noise_schedule.get_p0t_stats(x, ts)
 
-    noise = jax.random.normal(key_noise, mean.shape)
-    noise_state = state.set_flat_lats(noise).delete_dims(dims_xt)
+    noise_state = state.set_flat_lats(noise_raw).delete_dims(dims_xt)
     noise_state, _ = adjust_state(noise_state)
     noise = noise_state.get_flat_lats()
 
@@ -55,6 +50,20 @@ def add_noise(state: StructuredState, noise_schedule, forward_rate, min_t, key):
     state = state.set_flat_lats(xt).delete_dims(dims_xt)
     state, _ = adjust_state(state)
     return state, ts, x0_dims, dims_xt, noise, x, std
+
+
+def add_noise(state: StructuredState, noise_schedule, forward_rate, min_t, key):
+    """Forward corruption: delete dims via Poisson(∫rate), CoM-adjust, then
+    VP-noise the survivors (reference: loss.py:17-50).
+
+    Returns (noised_state, ts, x0_dims, dims_xt, noise_flat, x_flat, std)."""
+    B = state.B
+    key_t, key_dims, key_noise = jax.random.split(key, 3)
+
+    ts = min_t + (1.0 - min_t) * jax.random.uniform(key_t, (B,))
+    dims_xt = forward_rate.get_dims_at_t(key_dims, start_dims=state.dims, ts=ts)
+    noise_raw = jax.random.normal(key_noise, (B, state.flat_dim))
+    return corrupt_with(state, noise_schedule, ts, dims_xt, noise_raw)
 
 
 @dataclass(frozen=True)
@@ -79,12 +88,17 @@ class JumpLossFinalDim:
 
     def __call__(self, model, params, st_state: StructuredState, key):
         key_noise, key_net = jax.random.split(key)
-        B = st_state.B
-        max_dim = st_state.N
-
-        st_state, ts, x0_dims, dims_xt, noise, x, std_p0t = add_noise(
+        corrupted = add_noise(
             st_state, self.noise_schedule, self.forward_rate, self.min_t, key_noise
         )
+        return self.compute(model, params, corrupted)
+
+    def compute(self, model, params, corrupted):
+        """Deterministic loss given the `corrupt_with`/`add_noise` output —
+        the golden-testable core (both network passes + all loss terms)."""
+        st_state, ts, x0_dims, dims_xt, noise, x, std_p0t = corrupted
+        B = st_state.B
+        max_dim = st_state.N
 
         to_predict = {"eps": "eps", "x0": "x0", "edm": "x0"}[self.loss_type]
 

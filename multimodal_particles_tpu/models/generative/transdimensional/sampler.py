@@ -145,12 +145,20 @@ class JumpSampler:
         key,
         condition: Optional[Condition] = None,
         collect_diagnostics: bool = False,
+        test_draws: Optional[dict] = None,
     ):
         """Sample from dims=1, x ~ N(0, I). Returns (final_state, nfe), or
         (final_state, nfe, diag) with collect_diagnostics=True, where diag
         holds per-step trajectory scalars stacked over the time grid
         (ts, max_abs_x, mean_dims, birth_frac, rate_mean) — cheap scan
-        outputs for divergence/calibration analysis."""
+        outputs for divergence/calibration analysis.
+
+        test_draws: externally supplied random draws so torch-golden tests
+        can drive the reference sampler (its StackedRandomGenerator calls,
+        reference sampler.py:174,223,239,246) and this one with identical
+        noise: {"init": (B,D), "em_noise": (T,B,D), "u_jump": (T,B),
+        "birth_noise": (T,B,D)} over the T-step time grid. Requires
+        multi_birth=1 and corrector_steps=0 (reference semantics)."""
         cfg = self.config
         if cfg.do_conditioning and condition is None:
             raise ValueError(
@@ -174,9 +182,20 @@ class JumpSampler:
         noise_schedule = model.noise_schedule
         forward_rate = model.forward_rate
 
+        if test_draws is not None and (
+            int(getattr(cfg, "multi_birth", 1)) > 1 or cfg.corrector_steps > 0
+        ):
+            raise ValueError(
+                "test_draws requires reference semantics: multi_birth=1 and "
+                "corrector_steps=0"
+            )
+
         # --- init: x_T ~ N(0, I) flat, dims = 1, adjust
         key, key_init = jax.random.split(key)
-        xT = jax.random.normal(key_init, (B, template_state.flat_dim))
+        if test_draws is None:
+            xT = jax.random.normal(key_init, (B, template_state.flat_dim))
+        else:
+            xT = jnp.asarray(test_draws["init"])
         num_dims = jnp.ones((B,), jnp.int32)
         state = template_state.set_flat_lats(xT).delete_dims(num_dims)
         state, _ = adjust_state(state)
@@ -253,8 +272,12 @@ class JumpSampler:
             score = -(1.0 / jnp.clip(std_p0t, 0.001, None)) * eps_pred
             return score, rate_xt, mean_std, x0_logits
 
-        def diffusion_and_jump(state, t_b, dt, will_finish, no_noise_gate, key):
-            """One EM + birth move; returns (new state, per-step diagnostics)."""
+        def diffusion_and_jump(
+            state, t_b, dt, will_finish, no_noise_gate, key, draws=None
+        ):
+            """One EM + birth move; returns (new state, per-step diagnostics).
+            draws = (em_noise, u_jump, birth_noise) from test_draws, or None
+            to sample from the threaded key."""
             B = state.B
             key_net, key_noise, key_jump, key_new = jax.random.split(key, 4)
 
@@ -267,7 +290,11 @@ class JumpSampler:
             xt = state.get_flat_lats()
             xt = (2.0 - jnp.sqrt(1.0 - beta * dt)) * xt + mask * beta * dt * score
 
-            noise = jax.random.normal(key_noise, xt.shape)
+            noise = (
+                jax.random.normal(key_noise, xt.shape)
+                if draws is None
+                else draws[0]
+            )
             noise_state = state.set_flat_lats(noise).delete_dims(state.dims)
             noise_state, _ = adjust_state(noise_state)
             noise = noise_state.get_flat_lats()
@@ -338,16 +365,19 @@ class JumpSampler:
                 birth_stat = jnp.mean(births.astype(jnp.float32))
             else:
                 # --- reference single-birth jump semantics
-                u = jax.random.uniform(key_jump, (B,))
+                u = jax.random.uniform(key_jump, (B,)) if draws is None else draws[1]
                 increase = (u < rate_xt[:, 0] * dt) & (
                     state.dims < max_problem_dim
                 )
 
                 next_mask = state.get_next_dim_added_mask()
                 std = jax.nn.softplus(std_raw)
-                new_values = next_mask * (
-                    mean + jax.random.normal(key_new, std.shape) * std
+                birth_eps = (
+                    jax.random.normal(key_new, std.shape)
+                    if draws is None
+                    else draws[2]
                 )
+                new_values = next_mask * (mean + birth_eps * std)
                 xt = state.get_flat_lats()
                 xt_b = xt * (1.0 - next_mask) + new_values
                 xt = jnp.where(increase[:, None], xt_b, xt)
@@ -454,11 +484,16 @@ class JumpSampler:
 
         def plain_step(carry, xs):
             state, key = carry
-            t, dt, will_finish = xs
+            if test_draws is None:
+                t, dt, will_finish = xs
+                draws = None
+            else:
+                t, dt, will_finish, em, u, bn = xs
+                draws = (em, u, bn)
             key, key_d = jax.random.split(key)
             t_b = jnp.full((B,), t)
             state, diag = diffusion_and_jump(
-                state, t_b, dt, will_finish, no_noise_gate, key_d
+                state, t_b, dt, will_finish, no_noise_gate, key_d, draws
             )
             return (state, key), (
                 _state_diag(state, diag) if collect_diagnostics else None
@@ -492,6 +527,12 @@ class JumpSampler:
                 dt_j[seg_start:seg_end],
                 wf_j[seg_start:seg_end],
             )
+            if test_draws is not None:
+                xs = xs + (
+                    jnp.asarray(test_draws["em_noise"])[seg_start:seg_end],
+                    jnp.asarray(test_draws["u_jump"])[seg_start:seg_end],
+                    jnp.asarray(test_draws["birth_noise"])[seg_start:seg_end],
+                )
             step_fn = corrected_step if has_corrector else plain_step
             carry, ys = jax.lax.scan(step_fn, carry, xs)
             nfe += (seg_end - seg_start) * (

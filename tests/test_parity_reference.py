@@ -622,14 +622,14 @@ def test_get_rate_using_x0_pred_parity(ref_pkg):
     np.testing.assert_allclose(got, want.reshape(-1), rtol=2e-4, atol=1e-6)
 
 
-def test_transdimensional_net_forward_parity(ref_pkg):
-    """Transplanted weights ⇒ identical TransdimensionalEPiC outputs
-    (D_xt, reverse rate, creation mean/std, x0-dim logits, nearest-atom
-    logits) between the torch reference and the flax rebuild, in the
-    reference's Embedding-discrete mode
-    (reference: transdimensional_model.py:135-452)."""
+@pytest.fixture(scope="module")
+def transdim_pair(ref_pkg):
+    """(flax model+params, torch model, shared batch/facade) with the torch
+    weights transplanted into the flax tree, in the reference's
+    Embedding-discrete + flat ("dims") score-normalization mode — the exact
+    reference-semantics combination (reference:
+    transdimensional_model.py:135-452)."""
     import jax
-    import jax.numpy as jnp
 
     from multimodal_particles.config_classes.transdimensional_unconditional_config import (
         TransdimensionalEpicConfig as RefTCfg,
@@ -672,6 +672,8 @@ def test_transdimensional_net_forward_parity(ref_pkg):
     cfg.encoder.transformer_dim = C
     cfg.encoder.n_attn_blocks = blocks
     cfg.encoder.embedding_features_discrete = "Embedding"  # reference mode
+    cfg.loss_kwargs.score_loss_normalization = "dims"  # reference mode
+    cfg.sampler_kwargs.multi_birth = 1  # reference single-birth semantics
 
     jets = JetDataclass(config=cfg)
     jets.preprocess()
@@ -703,6 +705,28 @@ def test_transdimensional_net_forward_parity(ref_pkg):
         without_onehot_shapes=[torch.Size(s) for s in dm.without_onehot_shapes],
     )
     fake_dm.graphical_structure = RefJGS(fake_dm)
+    # upstream latent bug: the reference loss/sampler read
+    # gs.max_problem_dim (sampler.py:168, jets_dataloader.py:483) but
+    # JetsGraphicalStructure never defines it — these paths never executed
+    # upstream; for jets it is the particle-slot count
+    fake_dm.graphical_structure.max_problem_dim = Np
+
+    # upstream latent bug: the token decode uses `F.softmax(one_hot)` with
+    # the IMPLICIT dim (structure.py:231), which on a 3-D tensor is dim=0 —
+    # the BATCH axis — so each sample's tokens depend on the rest of the
+    # batch. Harmless on clean one-hots (argmax usually survives) but wrong
+    # on noised channels, where the author's evident intent (per-vocab
+    # softmax, = plain argmax) and the batch-softmax decode diverge. The
+    # rebuild uses plain per-row argmax; pin the reference to the intended
+    # semantics for the comparison.
+    _orig_to_mbd = RefSDB.from_st_batch_to_multimodal_bridge_databatch
+
+    def _fixed_to_mbd(self):
+        one_hot, _, tc, cc, cd, mask = _orig_to_mbd(self)
+        target_discrete = torch.argmax(one_hot, dim=-1).unsqueeze(-1)
+        return one_hot, target_discrete, tc, cc, cd, mask
+
+    RefSDB.from_st_batch_to_multimodal_bridge_databatch = _fixed_to_mbd
 
     torch.manual_seed(0)
     ref_model = RefTJD(ref_cfg, fake_dm)
@@ -765,6 +789,52 @@ def test_transdimensional_net_forward_parity(ref_pkg):
     _dense(net_p["pre_auto_proj"], ref_net.pre_auto_proj)
     _dense(net_p["post_auto_proj"], ref_net.post_auto_proj)
 
+    def make_ref_st_batch(data=None, dims=None):
+        sdb = RefSDB(
+            [torch.from_numpy(np.array(t)) for t in (data or data_np)],
+            torch.from_numpy(np.array(dims if dims is not None else dims_np)),
+            fake_dm.observed,
+            fake_dm.exist,
+            fake_dm.is_onehot,
+            fake_dm.graphical_structure,
+        )
+        # upstream latent attribute: get_auto_target reads
+        # st_batch.target_continuous_dim (jets_dataloader.py:486) but
+        # StructuredDataBatch never sets it — the loss path never executed
+        # upstream; it is the continuous feature dim
+        sdb.target_continuous_dim = int(state.Dc)
+        sdb.target_discrete_dim = int(state.V)
+        return sdb
+
+    return SimpleNamespace(
+        cfg=cfg,
+        model=model,
+        params=params,
+        state=state,
+        ref_model=ref_model,
+        ref_cfg=ref_cfg,
+        fake_dm=fake_dm,
+        dm=dm,
+        dims_np=dims_np,
+        data_np=data_np,
+        make_ref_st_batch=make_ref_st_batch,
+        Bt=Bt,
+        Np=Np,
+    )
+
+
+def test_transdimensional_net_forward_parity(transdim_pair):
+    """Transplanted weights ⇒ identical TransdimensionalEPiC outputs
+    (D_xt, reverse rate, creation mean/std, x0-dim logits, nearest-atom
+    logits) between the torch reference and the flax rebuild, in the
+    reference's Embedding-discrete mode
+    (reference: transdimensional_model.py:135-452)."""
+    import jax.numpy as jnp
+
+    p = transdim_pair
+    model, params, state, ref_model = p.model, p.params, p.state, p.ref_model
+    Bt = p.Bt
+
     # ---- identical fixed inputs through both nets
     ts = np.full((Bt,), 0.4, np.float32)
     nearest = np.zeros((Bt,), np.int64)
@@ -777,14 +847,7 @@ def test_transdimensional_net_forward_parity(ref_pkg):
         predict="eps",
     )
 
-    st_batch = RefSDB(
-        [torch.from_numpy(t) for t in data_np],
-        torch.from_numpy(dims_np),
-        fake_dm.observed,
-        fake_dm.exist,
-        fake_dm.is_onehot,
-        fake_dm.graphical_structure,
-    )
+    st_batch = p.make_ref_st_batch()
     with torch.no_grad():
         rD, rrate, rms, rx0, rnear = ref_model.net(
             st_batch,
@@ -813,6 +876,248 @@ def test_transdimensional_net_forward_parity(ref_pkg):
     np.testing.assert_allclose(
         np.asarray(astd), rms[1].numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+def test_transdim_assembled_loss_parity(transdim_pair):
+    """Identical corruption draws ⇒ the assembled `JumpLossFinalDim` —
+    forward corruption, both network passes, and every loss term
+    (score/rate/auto/CE/nearest-atom), the NaN-row handling, and the final
+    reduction — matches the torch reference in reference-semantics mode
+    (reference: transdimensional/loss.py:84-251). Guards the deliberate
+    default divergence (score_loss_normalization='live'): this pins the
+    'dims' compat combination."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.models.generative.transdimensional.loss import (
+        corrupt_with,
+    )
+
+    p = transdim_pair
+    B = p.Bt
+    rng = np.random.default_rng(7)
+
+    u_np = rng.uniform(size=(B,)).astype(np.float32)
+    x0_dims = p.dims_np.astype(np.int64)
+    # varied deletions incl. a no-delete row; dims_xt >= 2 throughout: the
+    # reference's own masking assertion (loss.py:164) fails at dims_xt==1 —
+    # the upstream-broken one-particle regime its skipped test names
+    # ("PROBLEM WITH INTERPOLATION TO ONE PARTICLE"); the rebuild's dims==1
+    # handling is covered by tests/test_generative/test_transdimensional.py
+    drop = rng.integers(0, 6, size=(B,))
+    dims_xt_np = np.clip(x0_dims - drop, 2, None).astype(np.int64)
+    dims_xt_np[1] = x0_dims[1]
+    flat_dim = int(p.state.flat_dim)
+    noise_np = rng.standard_normal((B, flat_dim)).astype(np.float32)
+
+    jl = p.model.jump_diffusion_loss
+    ts_np = (jl.min_t + (1.0 - jl.min_t) * u_np).astype(np.float32)
+
+    corrupted = corrupt_with(
+        p.state,
+        p.model.noise_schedule,
+        jnp.asarray(ts_np),
+        jnp.asarray(dims_xt_np, jnp.int32),
+        jnp.asarray(noise_np),
+    )
+    loss, comps = jl.compute(p.model, p.params, corrupted)
+
+    # --- torch side: full reference __call__ with the draws pinned by
+    # patching its three randomness sources (loss.py:22,25,36)
+    ref_loss_obj = p.ref_model.jump_diffusion_loss
+    st_batch = p.make_ref_st_batch()
+    orig_get_dims = ref_loss_obj.forward_rate.get_dims_at_t
+    ref_loss_obj.forward_rate.get_dims_at_t = (
+        lambda start_dims, ts: torch.from_numpy(dims_xt_np).float()
+    )
+    try:
+        with mock.patch.object(
+            torch, "rand", lambda *a, **k: torch.from_numpy(u_np)
+        ), mock.patch.object(
+            torch,
+            "randn_like",
+            lambda t, **k: torch.from_numpy(noise_np).to(t.dtype),
+        ), torch.no_grad():
+            ref_loss_t, ref_comps = ref_loss_obj(p.ref_model.net, st_batch)
+    finally:
+        ref_loss_obj.forward_rate.get_dims_at_t = orig_get_dims
+
+    assert float(comps["num_valid"]) == B
+    want_comps = {
+        "score_loss": ref_comps["score_loss"].sum(dim=1).mean().item(),
+        "rate_loss": ref_comps["rate_loss"].mean().item(),
+        "auto_loss": ref_comps["auto_loss"].mean().item(),
+        "ce_loss": ref_comps["ce_loss"].mean().item(),
+        "nearest_atom_loss": ref_comps["nearest_atom_loss"].mean().item(),
+        "max_rate_xt": ref_comps["max_rate_xt"].item(),
+        "min_rate_delxt": ref_comps["min_rate_delxt"].item(),
+        "min_auto_std": ref_comps["min_auto_std"].item(),
+        "max_auto_L2": ref_comps["max_auto_L2"].item(),
+    }
+    for name, want_v in want_comps.items():
+        np.testing.assert_allclose(
+            float(comps[name]), want_v, rtol=2e-3, atol=2e-4, err_msg=name
+        )
+
+    # reference returns the (B, D) per-element loss; row-sum + batch-mean is
+    # the scalar my compute() produces
+    want = ref_loss_t.sum(dim=1).mean().item()
+    np.testing.assert_allclose(float(loss), want, rtol=1e-3, atol=1e-4)
+
+
+def test_transdim_sampler_step_parity(transdim_pair):
+    """Identical random draws ⇒ the EM + single-birth jump reverse steps
+    (a 2-step dt=0.6 grid: one interior step + one will_finish step with
+    the no-noise gate) produce the same final lats/dims as the torch
+    reference's `JumpSampler.sample` loop
+    (reference: transdimensional/sampler.py:157-324)."""
+    import dataclasses
+
+    import jax
+
+    from multimodal_particles.models.generative.transdimensional.sampler import (
+        JumpSampler as RefJumpSampler,
+    )
+
+    from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
+        JumpSampler,
+    )
+
+    p = transdim_pair
+    B = p.Bt
+    flat_dim = int(p.state.flat_dim)
+
+    sk = dataclasses.replace(
+        p.cfg.sampler_kwargs,
+        dt=0.6,
+        dt_schedule="uniform",
+        sample_near_atom=False,
+        no_noise_final_step=True,
+        corrector_steps=0,
+        multi_birth=1,
+    )
+
+    rng = np.random.default_rng(11)
+    T = 2  # ts = [1.0, 0.4], finish_at = 0.3
+    init_np = rng.standard_normal((B, flat_dim)).astype(np.float32)
+    em_np = rng.standard_normal((T, B, flat_dim)).astype(np.float32)
+    u_np = rng.uniform(size=(T, B)).astype(np.float32)
+    # generous u so some births actually fire (rate*dt is O(1) here)
+    u_np[:, ::2] *= 0.05
+    bn_np = rng.standard_normal((T, B, flat_dim)).astype(np.float32)
+
+    sampler = JumpSampler(sk)
+    state, nfe = sampler.sample(
+        p.model,
+        p.params,
+        p.state,
+        jax.random.PRNGKey(0),
+        test_draws={
+            "init": init_np,
+            "em_noise": em_np,
+            "u_jump": u_np,
+            "birth_noise": bn_np,
+        },
+    )
+    assert nfe == T
+
+    class _FakeRnd:
+        """Replays the recorded draws through the reference's
+        StackedRandomGenerator API (sampler.py:174,223,239,246)."""
+
+        def __init__(self):
+            self.randn_q = [init_np] + [
+                a for t in range(T) for a in (em_np[t], bn_np[t])
+            ]
+            self.rand_q = [u_np[t] for t in range(T)]
+
+        def randn_like(self, t):
+            a = self.randn_q.pop(0)
+            assert tuple(t.shape) == a.shape
+            return torch.from_numpy(a).to(t.dtype)
+
+        def rand(self, shape, device=None):
+            return torch.from_numpy(self.rand_q.pop(0))
+
+        def multinomial(self, probs, num_samples=1):
+            # pinned nearest-atom draw = atom 0 on both sides (the rebuild
+            # runs sample_near_atom=False, whose nearest_atom is zeros; the
+            # reference's False path is broken upstream — its net asserts
+            # nearest_atom is not None, transdimensional_model.py:341)
+            return torch.zeros((probs.shape[0], num_samples), dtype=torch.long)
+
+    from multimodal_particles.models.generative.transdimensional.transdimensional_model import (
+        EpsilonPrecond as RefEps,
+    )
+
+    # upstream latent bug: the sampler's get_score passes
+    # sample_nearest_atom/rnd through `net` (sampler.py:93) but
+    # EpsilonPrecond.forward doesn't accept or forward them
+    # (transdimensional_model.py:124) — the sampler never executed
+    # upstream; forward the kwargs to the inner net, which does accept
+    # them (transdimensional_model.py:245-247)
+    def _eps_forward(
+        self,
+        st_batch,
+        ts,
+        predict="eps",
+        forward_rate=None,
+        nearest_atom=None,
+        sample_nearest_atom=False,
+        rnd=None,
+    ):
+        assert predict == "eps"
+        return self.model(
+            st_batch,
+            ts,
+            nearest_atom=nearest_atom,
+            sample_nearest_atom=sample_nearest_atom,
+            forward_rate=forward_rate,
+            rnd=rnd,
+        )
+
+    ref_sampler = RefJumpSampler(
+        p.ref_model.structure,
+        dt=sk.dt,
+        corrector_steps=0,
+        corrector_snr=sk.corrector_snr,
+        corrector_start_time=sk.corrector_start_time,
+        corrector_finish_time=sk.corrector_finish_time,
+        do_conditioning=False,
+        condition_type=sk.condition_type,
+        condition_sweep_idx=sk.condition_sweep_idx,
+        condition_sweep_path=sk.condition_sweep_path,
+        guidance_weight=sk.guidance_weight,
+        do_jump_corrector=False,
+        sample_near_atom=True,  # False is broken upstream; see _FakeRnd.multinomial
+        dt_schedule="uniform",
+        dt_schedule_h=sk.dt_schedule_h,
+        dt_schedule_l=sk.dt_schedule_l,
+        dt_schedule_tc=sk.dt_schedule_tc,
+        no_noise_final_step=True,
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(RefEps, "forward", _eps_forward), torch.no_grad():
+        ref_final = ref_sampler.sample(
+            p.ref_model.net,
+            p.make_ref_st_batch(),
+            p.ref_model.jump_diffusion_loss,
+            _FakeRnd(),
+        )
+
+    ref_dims = ref_final.get_dims().numpy()
+    got_dims = np.asarray(state.dims)
+    np.testing.assert_array_equal(got_dims, ref_dims)
+    np.testing.assert_allclose(
+        np.asarray(state.get_flat_lats()),
+        ref_final.get_flat_lats().numpy(),
+        rtol=2e-3,
+        atol=5e-4,
+    )
+    # at least one birth must have fired for the creation path to be tested
+    assert got_dims.max() > 1
 
 
 def transplant_absorbing_generator(ref_gen, gen_p, blocks):

@@ -249,23 +249,34 @@ def run_transdimensional(args):
 
     experiment = TransdimensionalExperiment(config, experiment_dir=args.workdir)
     experiment.trainer.files = None  # see absorbing note
-    t0 = time.time()
-    history = experiment.trainer.fit(
-        experiment.datamodule, epochs=args.epochs
-    )
-    train_s = time.time() - t0
-    final = history[-1]
-    print(f"[transdim] trained {args.epochs} epochs in {train_s:.1f}s: "
-          f"train={final['train_loss']:.4f}")
+    if args.reuse_params:
+        # re-score saved params (e.g. the converged 3000-epoch run in
+        # .cache/transdim_3000ep_params.pkl) without retraining
+        import pickle
 
+        with open(args.reuse_params, "rb") as f:
+            params = pickle.load(f)
+        train_s = 0.0
+        final = {"train_loss": float("nan")}
+        print(f"[transdim] reusing params from {args.reuse_params}")
+    else:
+        t0 = time.time()
+        history = experiment.trainer.fit(
+            experiment.datamodule, epochs=args.epochs
+        )
+        train_s = time.time() - t0
+        final = history[-1]
+        print(f"[transdim] trained {args.epochs} epochs in {train_s:.1f}s: "
+              f"train={final['train_loss']:.4f}")
+
+        trainer = experiment.trainer
+        params = (
+            trainer.state.ema_params
+            if trainer.state.ema_params is not None
+            else trainer.state.params
+        )
+        _save_params(params, args.workdir)
     model = experiment.model
-    trainer = experiment.trainer
-    params = (
-        trainer.state.ema_params
-        if trainer.state.ema_params is not None
-        else trainer.state.params
-    )
-    _save_params(params, args.workdir)
     # the sampler only takes SHAPES from the template (trajectories start at
     # dims=1, x ~ N(0, I)) — tile the first loader batch up to gen_chunk so
     # generation runs in a few big jitted calls instead of many tiny ones
@@ -417,6 +428,7 @@ def run_transdimensional(args):
             "ema_halflife_kimg=10 (AOJ mini, 100 jets)"
         ),
         "epochs": args.epochs,
+        "params_source": args.reuse_params or "trained in-run",
         "sampler_steps": headline["sampler_steps"],
         "multi_birth": headline["multi_birth"],
         "gen_jets": args.gen_jets,
@@ -459,6 +471,9 @@ def main():
                     help="override the config's sampler step count")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reuse-params", default=None,
+                    help="pickle of trained params: skip training and "
+                         "re-score (transdimensional only)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -299,6 +299,15 @@ def _pick_tile(B):
     return 1
 
 
+# Compiled (Mosaic) tile: ALWAYS the full 128-jet tile, padding B up to a
+# multiple (exact — jets are independent; padded jets carry mask 0 and the
+# pooled denominator is clamped at 1). Sub-128 tiles hit a pathological
+# Mosaic compile (>470 s vs 75 s at TB=128 for the identical kernel body,
+# measured on v5e at B=64/N=128); interpret (CPU-test) mode keeps the
+# divisor-based tile so tiny parity tests don't pay 64x padding.
+_COMPILED_TILE = 128
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -345,7 +354,7 @@ def epic_forward_pallas(
     reduction is masked (the padded slots carry mask 0) — and the outputs
     are sliced back to N.
     """
-    B, N_in = x.shape[0], x.shape[1]
+    B_in, N_in = x.shape[0], x.shape[1]
     dim_in = x.shape[2]
     N = ((N_in + 127) // 128) * 128
     if N != N_in:
@@ -353,7 +362,14 @@ def epic_forward_pallas(
         x = jnp.pad(x, pad)
         k = jnp.pad(k, pad)
         mask = jnp.pad(mask, pad)
-    TB = _pick_tile(B)
+    TB = _pick_tile(B_in) if interpret else _COMPILED_TILE
+    B = -(-B_in // TB) * TB
+    if B != B_in:
+        pad = ((0, B - B_in), (0, 0), (0, 0))
+        x = jnp.pad(x, pad)
+        k = jnp.pad(k, pad)
+        mask = jnp.pad(mask, pad)
+        t = jnp.pad(t, pad)
     TBN = TB * N
 
     temb = sinusoidal_positional_encoding(
@@ -416,9 +432,9 @@ def epic_forward_pallas(
     )(xT, kT, maskT, tembT, *packed)
 
     out = jnp.concatenate([outs[0], outs[1]], axis=0)  # (dim_c+vocab, B·N)
-    out = out.T.reshape(B, N, dim_c + vocab)[:, :N_in].astype(x.dtype)
+    out = out.T.reshape(B, N, dim_c + vocab)[:B_in, :N_in].astype(x.dtype)
     if output_hidden_local:
-        hid = outs[2].T.reshape(B, N, hidden)[:, :N_in]
+        hid = outs[2].T.reshape(B, N, hidden)[:B_in, :N_in]
         return out, hid
     return out
 

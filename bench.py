@@ -266,7 +266,10 @@ def main():
     else:
         fam_shapes = [
             ("absorbing", 4096, args.steps, 109),
-            ("transdimensional", 4096, args.steps, 128),
+            # 96 steps = the quality-valid operating point (multi-birth
+            # tau-leap, KL_mult 0.554 vs 0.602 at 1000 single-birth steps —
+            # benchmarks/quality_transdim.json)
+            ("transdimensional", 4096, 96, 128),
         ]
     for family, bsz, steps, n in fam_shapes:
         bench_sample(args, family, bsz, steps, n)

@@ -66,7 +66,9 @@ def shard_batch(batch, mesh: Mesh):
     def put(x):
         if x is None:
             return None
-        if jax.process_count() > 1:  # pragma: no cover - multi-host path
+        # multi-host path: exercised for real by the 2-process localhost
+        # jax.distributed test (tests/test_parallel/test_multihost.py)
+        if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(np.asarray(x), sharding)
 

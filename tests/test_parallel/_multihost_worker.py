@@ -1,0 +1,75 @@
+"""Subprocess worker for the 2-process jax.distributed localhost test
+(tests/test_parallel/test_multihost.py). Each worker owns 4 virtual CPU
+devices (XLA_FLAGS set by the parent), joins the coordination service, and
+runs ONE data-parallel train step where shard_batch takes the
+`jax.make_array_from_process_local_data` multi-host branch
+(parallel/mesh.py:69-71) — each process feeds only its local rows of the
+global batch."""
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    coord = sys.argv[3]
+    outdir = sys.argv[4]
+
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+
+    import numpy as np
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from __graft_entry__ import _tiny_family
+    from multimodal_particles_tpu.parallel.mesh import (
+        make_device_mesh,
+        shard_batch,
+    )
+    from multimodal_particles_tpu.training.trainer import Trainer
+
+    n_global = jax.device_count()
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == n_global // nproc
+
+    # identical deterministic global batch in every process (seed 0);
+    # this process contributes ONLY its contiguous local row block
+    model, config, batch = _tiny_family("mbm", n_global)
+    B = config.data.batch_size
+    lo, hi = pid * B // nproc, (pid + 1) * B // nproc
+    local = jax.tree_util.tree_map(lambda x: np.asarray(x)[lo:hi], batch)
+
+    mesh = make_device_mesh(data_axis=n_global, model_axis=1)
+    trainer = Trainer(model, config, mesh=mesh)
+    trainer.setup(local, steps_per_epoch=1)
+    sharded = shard_batch(local, mesh)
+    state, metrics = trainer._train_step(
+        trainer.state, jax.random.PRNGKey(0), sharded
+    )
+    loss = float(metrics["loss"])
+
+    with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
+        json.dump(
+            {
+                "loss": loss,
+                "process_count": int(jax.process_count()),
+                "global_devices": int(n_global),
+                "local_devices": len(jax.local_devices()),
+            },
+            f,
+        )
+
+
+if __name__ == "__main__":
+    main()

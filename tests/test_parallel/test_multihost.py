@@ -1,0 +1,99 @@
+"""Real multi-PROCESS data parallelism: 2 jax.distributed processes x 4
+virtual CPU devices each on localhost, one DP train step through
+shard_batch's `jax.make_array_from_process_local_data` branch
+(parallel/mesh.py:69-71), asserted equal to the single-process 8-device
+step on the same global batch (VERDICT r2 #7 — the multi-host code path
+had never executed).
+
+The reference has no distributed backend at all (SURVEY.md §5.8); this
+pins the TPU-native design's multi-host contract: per-process local rows +
+a global mesh produce bit-compatible training with the single-process path.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_loss():
+    """The same deterministic step on this process's 8 virtual devices."""
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import _tiny_family
+    from multimodal_particles_tpu.parallel.mesh import (
+        make_device_mesh,
+        shard_batch,
+    )
+    from multimodal_particles_tpu.training.trainer import Trainer
+
+    model, config, batch = _tiny_family("mbm", 8)
+    mesh = make_device_mesh(data_axis=8, model_axis=1)
+    trainer = Trainer(model, config, mesh=mesh)
+    trainer.setup(batch, steps_per_epoch=1)
+    _, metrics = trainer._train_step(
+        trainer.state, jax.random.PRNGKey(0), shard_batch(batch, mesh)
+    )
+    return float(metrics["loss"])
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest mesh")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/.axon_site:" + REPO
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", f"localhost:{port}",
+             str(tmp_path)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outputs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    records = []
+    for pid in range(2):
+        with open(tmp_path / f"loss_{pid}.json") as f:
+            records.append(json.load(f))
+
+    # both processes saw the global topology and computed the same
+    # (replicated) global loss
+    for r in records:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 8
+        assert r["local_devices"] == 4
+    assert records[0]["loss"] == pytest.approx(records[1]["loss"], rel=1e-6)
+
+    # and it equals the single-process 8-device step on the same global
+    # batch: same GSPMD partitioning, same params init, same key
+    single = _single_process_loss()
+    assert np.isfinite(single)
+    assert records[0]["loss"] == pytest.approx(single, rel=1e-5)

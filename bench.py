@@ -32,7 +32,7 @@ V5E_PEAK_TFLOPS = 197.0
 
 
 def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
-          num_particles: int = 128, scaled: bool = False):
+          num_particles: int = 128, scaled: bool = False, pallas: str = "auto"):
     from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
         JetsDataloaderModule,
     )
@@ -106,6 +106,8 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
     else:
         raise ValueError(family)
 
+    if pallas != "auto" and hasattr(config, "parallel"):
+        config.parallel.use_pallas = False if pallas == "off" else True
     params = model.init(jax.random.PRNGKey(0), batch)
     return model, config, params, batch
 
@@ -139,7 +141,7 @@ def bench_train(args, family):
 
     model, config, params, batch = build(
         args.batch_size, args.steps, args.dtype, family, args.particles,
-        args.scaled,
+        args.scaled, args.pallas,
     )
     tx = optax.adamw(resolve_train_config(config).lr)
     opt_state = tx.init(params)
@@ -181,7 +183,8 @@ def bench_train(args, family):
 def bench_sample(args, family, batch_size, steps, particles):
     n_chips = jax.device_count()
     model, config, params, batch = build(
-        batch_size, steps, args.dtype, family, particles, args.scaled
+        batch_size, steps, args.dtype, family, particles, args.scaled,
+        args.pallas
     )
 
     # the sampler returns a checksum scalar alongside the state so each timed
@@ -235,6 +238,10 @@ def main():
                     help="max_num_particles (109 = reference absorbing scale)")
     ap.add_argument(
         "--train", action="store_true", help="measure train steps/sec instead"
+    )
+    ap.add_argument(
+        "--pallas", default="auto", choices=["auto", "off", "on"],
+        help="force the Pallas kernel path on/off (default: model's auto gate)",
     )
     ap.add_argument(
         "--scaled", action="store_true",

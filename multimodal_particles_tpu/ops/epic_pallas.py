@@ -467,5 +467,15 @@ def mbm_pallas_supported(config) -> bool:
     """Gate for the MBM fused paths (fully-fused sampler step + custom-VJP
     training kernels), which additionally keep the telegraph/solver state in
     lane layout: the per-jet lane split (d, TB·N) → (d, TB, N) is only a
-    Mosaic-supported reshape when N is a lane multiple."""
-    return epic_pattern_supported(config) and config.data.max_num_particles % 128 == 0
+    Mosaic-supported reshape when N is a lane multiple.
+
+    Hidden width is capped at 64: the whole-step kernel holds ~10 live
+    (hidden, 128·N) f32 buffers in VMEM, and at hidden 128 (the --scaled
+    backbone) Mosaic's compile does not terminate in >18 min on v5e while
+    the plain-XLA sampler runs 2,296 jets/s there — wide backbones default
+    to the XLA path (docs/ARCHITECTURE.md perf ledger)."""
+    return (
+        epic_pattern_supported(config)
+        and config.data.max_num_particles % 128 == 0
+        and config.encoder.dim_hidden_local <= 64
+    )

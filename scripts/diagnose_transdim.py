@@ -86,11 +86,30 @@ def main():
     diag = {k: np.asarray(v) for k, v in diag.items()}
     T = diag["ts"].shape[0]
 
+    # analytic forward marginal E[dims_t] = E_d0[E[clip(d0 - Poisson(L(t)), 1)]]
+    # over the data dims — the curve a perfectly-calibrated reverse chain's
+    # mean_dims would track (in reverse time); realized-minus-forward
+    # localizes where births lag
+    from scipy.stats import poisson as _poisson  # scipy ships with jax deps
+
+    d0 = np.asarray(template[0]).astype(np.int64)
+
+    def fwd_marginal(t):
+        lam = float(model.forward_rate.get_rate_integral(jnp.float32(t)))
+        kmax = int(lam + 10 * np.sqrt(lam) + d0.max() + 10)
+        k = np.arange(kmax + 1)
+        pmf = _poisson.pmf(k, lam)
+        surv = np.clip(d0[:, None] - k[None, :], 1, None)  # (B0, K)
+        return float((surv * pmf[None, :]).sum(axis=1).mean())
+
+    dts = -np.diff(np.concatenate([diag["ts"], [0.0]]))
     print(f"{'step':>5} {'t':>8} {'max|x|':>12} {'mean_dims':>10} "
-          f"{'birth_frac':>10} {'rate_mean':>10}")
+          f"{'fwd_marg':>9} {'birth_frac':>10} {'rate_mean':>10}")
     for i in list(range(0, T, args.print_every)) + [T - 1]:
+        t_after = max(diag["ts"][i] - dts[i], 0.0)
         print(f"{i:>5} {diag['ts'][i]:>8.4f} {diag['max_abs_x'][i]:>12.4g} "
-              f"{diag['mean_dims'][i]:>10.2f} {diag['birth_frac'][i]:>10.4f} "
+              f"{diag['mean_dims'][i]:>10.2f} {fwd_marginal(t_after):>9.2f} "
+              f"{diag['birth_frac'][i]:>10.4f} "
               f"{diag['rate_mean'][i]:>10.4f}")
 
     # where does max|x| first exceed thresholds?

@@ -96,6 +96,21 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
         model = TransdimensionalJumpDiffusion(config)
         rng = np.random.default_rng(0)
         n_particles = rng.integers(1, num_particles + 1, batch_size)
+        # attach a multiplicity prior so the bench times the full
+        # quality-valid sampler (analytic dims=1 posterior incl. the
+        # per-step gammainc survival term), exactly like trained use
+        from types import SimpleNamespace
+
+        from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+            DistributionNodes,
+        )
+
+        vals, counts = np.unique(n_particles, return_counts=True)
+        model.graphical_structure = SimpleNamespace(
+            nodes_dist=DistributionNodes(
+                {int(v): int(c) for v, c in zip(vals, counts)}
+            )
+        )
         batch = [
             jnp.asarray(n_particles),
             jnp.asarray(rng.standard_normal((batch_size, num_particles, 3)), jnp.float32),

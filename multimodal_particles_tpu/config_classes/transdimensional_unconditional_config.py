@@ -139,6 +139,28 @@ class SamplerKwargs:
     # times are sampled exactly — at dt→0 (or multi_birth=1) this reduces
     # to the reference semantics.
     multi_birth: int = 16
+    # Exact per-step time integral of the birth intensity (multi-birth path
+    # only). The x0-pred reverse rate factorizes as f(t)/L(t) * G(d, x) with
+    # L = the forward-rate integral, and since dL/dt = f its exact step
+    # integral is ln L(t) - ln L(t-dt) — LOG-SINGULAR as L→0+ at the rate
+    # cut. The left-endpoint product f(t)*dt/L(t) (reference semantics)
+    # systematically undersamples that singular mass, which is the measured
+    # root cause of the terminal-multiplicity undershoot (diagnosed with
+    # scripts/diagnose_transdim.py: realized births 37.8 vs rate-integral
+    # 41.1 vs needed 44.9 at 96 steps). False = left-endpoint product.
+    exact_rate_integral: bool = True
+    # Replace the x0-dim classifier's logits at dims==1 rows (multi-birth
+    # x0-pred path only) by the ANALYTIC posterior
+    #   log p(d0 | dims=1, t) = log p_prior(d0) + log P(Poisson(L(t)) >= d0-1)
+    # where p_prior is the training multiplicity histogram
+    # (DistributionNodes, kernel-smoothed). At dims=1 the state carries no
+    # usable evidence about d0 (one noisy particle), yet the trained
+    # classifier is measurably biased low there (mean d0 37 vs analytic 43
+    # at t=0.5 on the quality run) — the onset lag behind the forward
+    # marginal that scripts/diagnose_transdim.py localizes. Requires the
+    # model to be built with a datamodule (for nodes_dist); silently
+    # inactive otherwise.
+    analytic_dim1_posterior: bool = True
 
 
 @dataclass

@@ -65,6 +65,9 @@ def sample_birth_chain(key, rates, dt):
     dtau = jnp.where(
         rates > 0.0, -jnp.log(u) / jnp.clip(rates, 1e-20, None), jnp.inf
     )
+    dt = jnp.asarray(dt)
+    if dt.ndim == 1:  # per-sample exact interval integrals
+        dt = dt[:, None]
     return jnp.sum(jnp.cumsum(dtau, axis=1) < dt, axis=1).astype(jnp.int32)
 
 
@@ -146,6 +149,7 @@ class JumpSampler:
         condition: Optional[Condition] = None,
         collect_diagnostics: bool = False,
         test_draws: Optional[dict] = None,
+        dims_prior_log_probs=None,
     ):
         """Sample from dims=1, x ~ N(0, I). Returns (final_state, nfe), or
         (final_state, nfe, diag) with collect_diagnostics=True, where diag
@@ -321,6 +325,40 @@ class JumpSampler:
                         get_birth_rates_for_offsets,
                     )
 
+                    if (
+                        getattr(cfg, "analytic_dim1_posterior", False)
+                        and dims_prior_log_probs is not None
+                    ):
+                        # at dims==1 the state carries no usable evidence
+                        # about d0, so the posterior is analytic:
+                        # log p(d0|dims=1,t) = log p_prior(d0)
+                        #   + log P(Poisson(L(t)) >= d0-1)
+                        # (the clamped forward chain sits at 1 iff at least
+                        # d0-1 deletions fired). The trained classifier is
+                        # measurably biased low in exactly this regime —
+                        # see the config docstring and diagnose_transdim.
+                        lam_p = forward_rate.get_rate_integral(t_b)  # (B,)
+                        d0r = jnp.arange(
+                            1, max_problem_dim + 1, dtype=jnp.float32
+                        )
+                        surv = jnp.where(
+                            d0r[None, :] > 1.0,
+                            jnp.log(
+                                jax.scipy.special.gammainc(
+                                    jnp.maximum(d0r[None, :] - 1.0, 1.0),
+                                    jnp.maximum(lam_p[:, None], 1e-30),
+                                )
+                                + 1e-30
+                            ),
+                            0.0,
+                        )  # (B, D) log P(K >= d0-1)
+                        analytic = (
+                            jnp.asarray(dims_prior_log_probs)[None, :] + surv
+                        )
+                        x0_logits = jnp.where(
+                            (state.dims == 1)[:, None], analytic, x0_logits
+                        )
+
                     rates = get_birth_rates_for_offsets(
                         x0_logits, state.dims, K, forward_rate, t_b,
                         max_problem_dim,
@@ -332,7 +370,27 @@ class JumpSampler:
                         jnp.broadcast_to(rate_xt, (B, K)),
                         0.0,
                     )
-                births = sample_birth_chain(key_jump, rates, dt)
+                chain_dt = dt
+                if getattr(cfg, "exact_rate_integral", True):
+                    # rev(d, s) = f(s)/L(s) * G(d, x) with the net's G frozen
+                    # at the step's left endpoint; since dL/ds = f, the EXACT
+                    # step integral of f/L is ln L(t) - ln L(t-dt). The
+                    # left-endpoint product f*dt/L undersamples this
+                    # (log-singular as L→0+ at the rate cut) — the measured
+                    # root cause of the terminal-multiplicity undershoot.
+                    # Expressed as an effective dt so the frozen-rate chain
+                    # is reused: eff_dt = (L/f)(t) * [ln L(t) - ln L(t')]
+                    # with t' clamped to the grid's own floor.
+                    t_next = jnp.maximum(t_b - dt, _finish_at / 2)
+                    lam_t = forward_rate.get_rate_integral(t_b)
+                    lam_next = forward_rate.get_rate_integral(t_next)
+                    f_t = forward_rate.get_rate(None, t_b)
+                    chain_dt = (
+                        (jnp.log(lam_t) - jnp.log(lam_next))
+                        * lam_t
+                        / jnp.maximum(f_t, 1e-20)
+                    ).reshape(B)
+                births = sample_birth_chain(key_jump, rates, chain_dt)
                 new_dims = jnp.minimum(state.dims + births, max_problem_dim)
                 added_mask = state.get_mask_flat(new_dims) - state.get_mask_flat(
                     state.dims

@@ -17,6 +17,7 @@ models/generative/transdimensional/transdimensional_model.py:45-452):
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from multimodal_particles_tpu.models.architectures.epic import EPiCWrapper
@@ -588,7 +589,33 @@ class TransdimensionalJumpDiffusion:
         return self.sampler.sample(
             self, params, template_state, key, condition,
             collect_diagnostics=collect_diagnostics,
+            dims_prior_log_probs=self._dims_prior_log_probs(template_state.N),
         )
+
+    def _dims_prior_log_probs(self, max_dim: int):
+        """Kernel-smoothed log multiplicity prior on the 1..max_dim grid for
+        the sampler's analytic dims=1 posterior (SamplerKwargs.
+        analytic_dim1_posterior); None when no datamodule was attached or
+        the feature is off."""
+        if not getattr(self.config.sampler_kwargs, "analytic_dim1_posterior",
+                       False):
+            return None
+        gs = self.graphical_structure
+        if gs is None or getattr(gs, "nodes_dist", None) is None:
+            return None
+        nd = gs.nodes_dist
+        probs = np.zeros(max_dim, dtype=np.float64)
+        idx = np.clip(np.asarray(nd.n_nodes, np.int64) - 1, 0, max_dim - 1)
+        np.add.at(probs, idx, np.asarray(nd.probs, np.float64))
+        # Gaussian kernel smoothing (sigma = 2 particles): an empirical
+        # histogram over ~100 jets is sparse, and an unsmoothed prior would
+        # pin the onset rate to the exact observed multiplicities
+        k = np.arange(-6, 7, dtype=np.float64)
+        kern = np.exp(-0.5 * (k / 2.0) ** 2)
+        kern /= kern.sum()
+        probs = np.convolve(probs, kern, mode="same")
+        probs /= probs.sum()
+        return jnp.asarray(np.log(probs + 1e-30), jnp.float32)
 
     def predict(self, params, batch, key):
         """Trainer-compatible sampling entry: template shapes from batch."""

@@ -570,3 +570,84 @@ def test_multi_birth_sampler_beats_step_floor(model_and_batch):
     # padding contract: rows at/above dims are zeroed
     alive = np.arange(state.N)[None, :] < d_m[:, None]
     assert np.abs(np.asarray(out_m.continuous) * ~alive[..., None]).max() == 0.0
+
+
+def test_exact_rate_integral_restores_prior_multiplicity():
+    """Solver self-consistency, isolated from the network: replace the
+    x0-dim classifier by the ANALYTIC Bayes posterior (prior x Poisson
+    forward likelihood) and run the dims-only reverse birth chain. A correct
+    solver must then reproduce the prior's mean multiplicity. With the exact
+    per-step intensity integral ln L(t) - ln L(t-dt) it does at 64 steps;
+    the left-endpoint product f(t)*dt/L(t) (reference-style) measurably
+    undershoots — the diagnosed root cause of the terminal-multiplicity
+    deficit (reverse rate = f/L * G with an integrable log singularity of
+    f/L at the rate cut)."""
+    from jax.scipy.special import gammainc
+
+    from multimodal_particles_tpu.models.generative.diffusion.noising import (
+        StepForwardRate,
+        _poisson_logpmf,
+        get_birth_rates_for_offsets,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
+        sample_birth_chain,
+    )
+
+    B, D, K, steps = 4096, 64, 16, 64
+    fr = StepForwardRate(max_dim=D, rate_cut_t=0.1)
+    d0r = jnp.arange(1, D + 1, dtype=jnp.float32)
+    # smooth unimodal prior over 1..D, mean ~24
+    prior = np.exp(-0.5 * ((np.arange(1, D + 1) - 24.0) / 7.0) ** 2)
+    prior /= prior.sum()
+    prior_mean = float((np.arange(1, D + 1) * prior).sum())
+    log_prior = jnp.asarray(np.log(prior), jnp.float32)
+
+    def oracle_logits(dims, t_b):
+        """log p(d0 | dims, t): prior + forward-deletion likelihood —
+        pmf(d0 - dims; L) for dims >= 2, clamp-survival P(K >= d0-1) at 1."""
+        lam = fr.get_rate_integral(t_b)[:, None]  # (B, 1)
+        k = d0r[None, :] - dims[:, None].astype(jnp.float32)  # (B, D)
+        logpmf = jnp.where(k >= 0.0, _poisson_logpmf(jnp.maximum(k, 0.0), lam), -1e30)
+        surv = jnp.where(
+            d0r[None, :] > 1.0,
+            jnp.log(gammainc(jnp.maximum(d0r[None, :] - 1.0, 1.0), lam) + 1e-30),
+            0.0,
+        )
+        lik = jnp.where((dims == 1)[:, None], surv, logpmf)
+        return log_prior[None, :] + lik
+
+    dt = 1.0 / steps
+    floor = dt / 4.0
+
+    def run(exact):
+        def step(carry, t):
+            dims, key = carry
+            key, k_j = jax.random.split(key)
+            t_b = jnp.full((B,), t)
+            rates = get_birth_rates_for_offsets(
+                oracle_logits(dims, t_b), dims, K, fr, t_b, D
+            )
+            if exact:
+                lam_t = fr.get_rate_integral(t_b)
+                lam_n = fr.get_rate_integral(jnp.maximum(t_b - dt, floor))
+                f_t = fr.get_rate(None, t_b)
+                chain_dt = (jnp.log(lam_t) - jnp.log(lam_n)) * lam_t / f_t
+            else:
+                chain_dt = jnp.full((B,), dt)
+            births = sample_birth_chain(k_j, rates, chain_dt)
+            return (jnp.minimum(dims + births, D), key), None
+
+        ts = jnp.arange(steps, 0, -1, dtype=jnp.float32) * dt
+        (dims, _), _ = jax.lax.scan(
+            step, (jnp.ones((B,), jnp.int32), jax.random.PRNGKey(0)), ts
+        )
+        return float(dims.mean())
+
+    mean_exact = run(exact=True)
+    mean_left = run(exact=False)
+    # exact integral: within a few percent of the prior mean
+    assert abs(mean_exact - prior_mean) < 0.05 * prior_mean, (
+        mean_exact, prior_mean
+    )
+    # left-endpoint: measurably short (the bug this guards against)
+    assert mean_left < mean_exact - 0.5, (mean_left, mean_exact)

@@ -33,6 +33,10 @@ _SIMPLE_STUBS = ("wandb", "awkward", "uproot", "fastjet", "mlflow", "comet_ml")
 def _stub(name):
     mod = types.ModuleType(name)
     mod.__stub__ = True
+    if name == "mlflow":
+        # the rebuild's Trainer soft-probes mlflow.active_run(); a bare stub
+        # must answer "no active run" rather than AttributeError
+        mod.active_run = lambda: None
     sys.modules[name] = mod
     return mod
 

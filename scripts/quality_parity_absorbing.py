@@ -270,12 +270,16 @@ def run_seed(args, seed):
         "halved": np.clip(mult_data_all // 2, 1, N),
         "uniform": rng.integers(1, N + 1, size=mult_data_all.shape),
     }
+    stress_chunks = [
+        c[c < args.stress_jets] for c in chunks if (c < args.stress_jets).any()
+    ]
     stress = {}
     for name, mult in stress_hists.items():
         src = src_for(mult, seed + 11)
-        mult_init = np.asarray(src.mask[..., 0].sum(1))
+        mult_init = np.asarray(src.mask[..., 0].sum(1))[: args.stress_jets]
         j_out = gen_rebuild(
-            model, params, src, config, chunks, key, MultimodalDatabatch, jax, jnp
+            model, params, src, config, stress_chunks, key, MultimodalDatabatch,
+            jax, jnp,
         )
         mult_fin = j_out[2][..., 0].sum(1)
         entry = {
@@ -292,7 +296,8 @@ def run_seed(args, seed):
         )
         if ref_model is not None:
             r_out = gen_reference(
-                ref_model, src, chunks, MultimodalDatabatch, torch, RefState
+                ref_model, src, stress_chunks, MultimodalDatabatch, torch,
+                RefState,
             )
             r_fin = r_out[2][..., 0].sum(1)
             entry["reference"] = {
@@ -339,49 +344,64 @@ def main():
         default=os.path.join(REPO_ROOT, "benchmarks",
                              "quality_parity_absorbing.json"),
     )
+    ap.add_argument("--stress-jets", type=int, default=512,
+                    help="stress-test generation size (gen from a wrong "
+                         "histogram is 2 extra gens per model per seed)")
     ap.add_argument("--skip-reference", action="store_true")
     args = ap.parse_args()
+    args.stress_jets = min(args.stress_jets, args.gen_jets)
 
     import jax
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    runs = [run_seed(args, s) for s in args.seeds]
+    def write_out(runs):
+        median_ratios = None
+        keyed = [
+            r["ratio_rebuilt_over_reference"]
+            for r in runs
+            if r["ratio_rebuilt_over_reference"]
+        ]
+        if keyed:
+            common = set(keyed[0])
+            for k in keyed[1:]:
+                common &= set(k)
+            median_ratios = {
+                k: round(float(np.median([r[k] for r in keyed])), 3)
+                for k in sorted(common)
+            }
 
-    median_ratios = None
-    keyed = [r["ratio_rebuilt_over_reference"] for r in runs if r["ratio_rebuilt_over_reference"]]
-    if keyed:
-        common = set(keyed[0])
-        for k in keyed[1:]:
-            common &= set(k)
-        median_ratios = {
-            k: round(float(np.median([r[k] for r in keyed])), 3)
-            for k in sorted(common)
+        result = {
+            "protocol": (
+                "both models trained on the identical preprocessed AOJ-mini "
+                "split (config-absorbing-test), identical batch sequence, "
+                "equal steps; generation from identical noise sources with "
+                "source masks from the data multiplicity histogram at equal "
+                "sampler steps — reference side via its own "
+                "simulate_dynamics (predict_step is broken upstream); "
+                "gen-vs-data KL/W1 with the reference's metric machinery, "
+                "plus wrong-histogram mask-dynamics stress tests"
+            ),
+            "config": "config-absorbing-test (AOJ mini, 100 jets)",
+            "epochs": args.epochs,
+            "sampler_steps": args.sampler_steps,
+            "gen_jets": args.gen_jets,
+            "stress_jets": args.stress_jets,
+            "platform": args.platform,
+            "seeds_done": [r["seed"] for r in runs],
+            "seeds": runs,
+            "median_ratio_rebuilt_over_reference": median_ratios,
         }
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        return median_ratios
 
-    result = {
-        "protocol": (
-            "both models trained on the identical preprocessed AOJ-mini "
-            "split (config-absorbing-test), identical batch sequence, equal "
-            "steps; generation from identical noise sources with source "
-            "masks from the data multiplicity histogram at equal sampler "
-            "steps — reference side via its own simulate_dynamics "
-            "(predict_step is broken upstream); gen-vs-data KL/W1 with the "
-            "reference's metric machinery, plus wrong-histogram "
-            "mask-dynamics stress tests"
-        ),
-        "config": "config-absorbing-test (AOJ mini, 100 jets)",
-        "epochs": args.epochs,
-        "sampler_steps": args.sampler_steps,
-        "gen_jets": args.gen_jets,
-        "platform": args.platform,
-        "seeds": runs,
-        "median_ratio_rebuilt_over_reference": median_ratios,
-    }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
+    runs = []
+    for s in args.seeds:
+        runs.append(run_seed(args, s))
+        median_ratios = write_out(runs)  # crash-proof: persist per seed
     print(json.dumps({"median_ratios": median_ratios}, indent=2))
 
 

@@ -67,6 +67,17 @@ class BridgeConfig:
 
     num_timesteps: int = 1000
     time_eps: float = 0.0001
+    # Source-consistent mask-bridge augmentation (0.0 = exact reference
+    # semantics). The reference's training masks ALWAYS contain the target
+    # (absorbing bridge = target ∪ extras), so the survival head never sees
+    # a dead slot whose BCE label is alive — and since the mask solver is
+    # birth-only, the trained dynamics cannot correct an under-multiplicity
+    # generation init (measured: wrong-histogram stress KL barely moves).
+    # With target_dropout = d > 0, training drops each TARGET slot from
+    # mask_t with probability d·SP(t) (alive w.p. 1 at t=1, 1-d at t=0,
+    # mirroring the extras' death schedule), teaching the head to revive
+    # slots the jet still needs.
+    target_dropout: float = 0.0
 
 
 @dataclass

@@ -272,11 +272,19 @@ def absorbing_survival_probability(t, gamma):
     )
 
 
-def absorbing_sample(key, t, target_mask, gamma):
+def absorbing_sample(key, t, target_mask, gamma, target_dropout=0.0):
     """Sample the alive/dead mask at time t.
 
     Particles destined to exist at t=1 (target_mask==1) are always alive;
     the rest survive with the closed-form survival probability.
+
+    target_dropout > 0 (source-consistent augmentation, beyond the
+    reference) additionally kills each TARGET slot with probability
+    dropout·SP(t) — alive w.p. 1 at t=1, 1-dropout at t=0 — so the survival
+    head sees dead slots whose BCE label is ALIVE and learns to revive
+    them (the reference's head never does: its training masks always
+    contain the target, and the birth-only solver then cannot correct an
+    under-multiplicity generation init).
 
     Args:
       t:           (B, 1, 1)
@@ -284,10 +292,16 @@ def absorbing_sample(key, t, target_mask, gamma):
     Returns:
       (B, N, 1) int mask.
     """
+    target_alive = target_mask > 0
+    if target_dropout > 0.0:
+        key, key_drop = jax.random.split(key)
+        u2 = jax.random.uniform(key_drop, target_mask.shape)
+        drop_p = target_dropout * absorbing_survival_probability(t, gamma)
+        target_alive = target_alive & (u2 >= drop_p)
     u = jax.random.uniform(key, target_mask.shape)
     survival = absorbing_survival_probability(t, gamma)
     mask_t = (u < survival).astype(jnp.int32)
-    return jnp.where(target_mask > 0, 1, mask_t)
+    return jnp.where(target_alive, 1, mask_t)
 
 
 def absorbing_rate(t, mask_t, logits, gamma):
@@ -433,19 +447,23 @@ class AbsorbingBridge:
     gamma_absorb: float
     time_epsilon: float
     vocab_size: int = 2
+    target_dropout: float = 0.0
 
     @classmethod
     def from_config(cls, config):
         return cls(
             gamma_absorb=config.bridge.gamma_absorb,
             time_epsilon=config.bridge.time_eps,
+            target_dropout=getattr(config.bridge, "target_dropout", 0.0),
         )
 
     def survival_probability(self, t):
         return absorbing_survival_probability(t, self.gamma_absorb)
 
     def sample(self, key, time, target_mask):
-        return absorbing_sample(key, time, target_mask, self.gamma_absorb)
+        return absorbing_sample(
+            key, time, target_mask, self.gamma_absorb, self.target_dropout
+        )
 
     def rate(self, t, k, logits):
         return absorbing_rate(t, k, logits, self.gamma_absorb)

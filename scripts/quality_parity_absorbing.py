@@ -117,6 +117,9 @@ def run_seed(args, seed):
     config.data.num_jets = 100
     config.data.seed = seed
     config.bridge.num_timesteps = args.sampler_steps
+    # rebuild-only augmentation (the torch reference has no such knob);
+    # head-to-head runs keep the default 0.0 = exact reference semantics
+    config.bridge.target_dropout = args.target_dropout
     epochs = args.epochs
     config.train.epochs = epochs
     config.train.scheduler_params["T_max"] = epochs
@@ -348,6 +351,10 @@ def main():
                     help="stress-test generation size (gen from a wrong "
                          "histogram is 2 extra gens per model per seed)")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--target-dropout", type=float, default=0.0,
+                    help="source-consistent mask-bridge augmentation for "
+                         "the REBUILD side (see BridgeConfig.target_dropout"
+                         "); keep 0.0 for reference-semantics head-to-head")
     args = ap.parse_args()
     args.stress_jets = min(args.stress_jets, args.gen_jets)
 
@@ -388,6 +395,7 @@ def main():
             "sampler_steps": args.sampler_steps,
             "gen_jets": args.gen_jets,
             "stress_jets": args.stress_jets,
+            "target_dropout": args.target_dropout,
             "platform": args.platform,
             "seeds_done": [r["seed"] for r in runs],
             "seeds": runs,

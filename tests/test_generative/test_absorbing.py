@@ -111,3 +111,38 @@ def test_bce_matches_definition(setup):
     p = 1 / (1 + np.exp(-x))
     expected = float(np.mean(-(y * np.log(p) + (1 - y) * np.log1p(-p))))
     np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_absorbing_sample_target_dropout_schedule():
+    """Source-consistent augmentation: with target_dropout=d, a target slot
+    at time t is dropped to the extras path w.p. d*SP(t), so
+    P(alive | target) = 1 - d*SP(t)*(1 - SP(t)); d=0 keeps the reference
+    semantics (target slots always alive) on the identical random stream."""
+    import jax
+
+    from multimodal_particles_tpu.models.generative.bridges import (
+        absorbing_sample,
+        absorbing_survival_probability,
+    )
+
+    B, N, gamma, d = 40_000, 8, 0.125, 0.5
+    key = jax.random.PRNGKey(0)
+    target = jnp.ones((B, N, 1), jnp.int32)
+    for t in (0.2, 0.5, 0.8):
+        tt = jnp.full((B, 1, 1), t)
+        sp = float(absorbing_survival_probability(jnp.float32(t), gamma))
+        m = np.asarray(absorbing_sample(key, tt, target, gamma, d))
+        p_alive = m.mean()
+        expected = 1.0 - d * sp * (1.0 - sp)
+        assert abs(p_alive - expected) < 0.01, (t, p_alive, expected)
+
+    # d=0 is bit-identical to the reference-semantics call
+    tt = jnp.full((B, 1, 1), 0.5)
+    tgt = (jax.random.uniform(jax.random.PRNGKey(1), (B, N, 1)) < 0.3).astype(
+        jnp.int32
+    )
+    a = np.asarray(absorbing_sample(key, tt, tgt, gamma))
+    b = np.asarray(absorbing_sample(key, tt, tgt, gamma, 0.0))
+    np.testing.assert_array_equal(a, b)
+    # target slots are never dead without dropout
+    assert (a[np.asarray(tgt) > 0] == 1).all()

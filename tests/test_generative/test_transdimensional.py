@@ -651,3 +651,39 @@ def test_exact_rate_integral_restores_prior_multiplicity():
     )
     # left-endpoint: measurably short (the bug this guards against)
     assert mean_left < mean_exact - 0.5, (mean_left, mean_exact)
+
+
+def test_dims_prior_log_probs_smoothed_and_wired():
+    """_dims_prior_log_probs returns a normalized, kernel-smoothed log-prior
+    on the 1..N grid (support widened beyond the sparse histogram), and is
+    None when the feature is off or no datamodule was attached."""
+    from types import SimpleNamespace
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional import (
+        TransdimensionalJumpDiffusion,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        DistributionNodes,
+    )
+
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.max_num_particles = 64
+    model = TransdimensionalJumpDiffusion(cfg)
+    assert model._dims_prior_log_probs(64) is None  # no datamodule
+
+    hist = {20: 5, 24: 10, 30: 5}  # sparse empirical histogram
+    model.graphical_structure = SimpleNamespace(nodes_dist=DistributionNodes(hist))
+    lp = model._dims_prior_log_probs(64)
+    assert lp.shape == (64,)
+    p = np.exp(np.asarray(lp, np.float64))
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+    # smoothing spreads mass to neighbors the histogram never saw
+    assert p[21] > 1e-4 and p[22] > 1e-4  # d0 = 22, 23 (0-indexed grid)
+    mean = (np.arange(1, 65) * p).sum()
+    assert 22.0 < mean < 27.0
+    # off switch
+    cfg.sampler_kwargs.analytic_dim1_posterior = False
+    assert model._dims_prior_log_probs(64) is None

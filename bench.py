@@ -93,6 +93,8 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
         config.data.batch_size = batch_size
         config.data.max_num_particles = num_particles
         config.sampler_kwargs.dt = 1.0 / num_timesteps
+        if scaled:
+            _scale_encoder(config)
         model = TransdimensionalJumpDiffusion(config)
         rng = np.random.default_rng(0)
         n_particles = rng.integers(1, num_particles + 1, batch_size)
@@ -149,13 +151,16 @@ def _with_mfu(result, flops_per_call, calls, dt):
     return result
 
 
-def bench_train(args, family):
+def bench_train(args, family, batch_size=None, particles=None):
     import optax
 
     from multimodal_particles_tpu.training.trainer import resolve_train_config
 
+    batch_size = batch_size or args.batch_size
+    particles = particles or args.particles
+    n_chips = jax.device_count()
     model, config, params, batch = build(
-        args.batch_size, args.steps, args.dtype, family, args.particles,
+        batch_size, args.steps, args.dtype, family, particles,
         args.scaled, args.pallas,
     )
     tx = optax.adamw(resolve_train_config(config).lr)
@@ -184,15 +189,17 @@ def bench_train(args, family):
     dt = time.perf_counter() - t0
     steps_per_sec = iters / dt
     result = {
-        "metric": f"{family} train steps/sec (batch {args.batch_size}"
+        "metric": f"{family} train steps/sec (batch {batch_size}"
                   f"{', scaled backbone' if args.scaled else ''})",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(
-            steps_per_sec * args.batch_size / (1_000_000 / 60 / 8), 3
+            steps_per_sec * batch_size / (1_000_000 / 60 / 8), 3
         ),
     }
-    print(json.dumps(_with_mfu(result, flops, iters, dt)))
+    # cost_analysis covers the whole (sharded) executable; report per-chip
+    # TFLOP/s so MFU is against the per-chip peak like jets/sec/chip
+    print(json.dumps(_with_mfu(result, flops and flops / n_chips, iters, dt)))
 
 
 def bench_sample(args, family, batch_size, steps, particles):
@@ -215,6 +222,8 @@ def bench_sample(args, family, batch_size, steps, particles):
     key = jax.random.PRNGKey(42)
     compiled = jax.jit(run).lower(params, batch, key).compile()
     flops = _flops_of(compiled)
+    if flops:
+        flops /= n_chips  # per-chip, like jets/sec/chip
 
     float(compiled(params, batch, key))  # warmup
 
@@ -274,7 +283,17 @@ def main():
         args.batch_size, args.steps, args.iters = 64, 10, 2
 
     if args.train:
-        bench_train(args, args.model if args.model != "all" else "mbm")
+        if args.model != "all":
+            bench_train(args, args.model)
+        else:  # ledger shapes per family, MBM last (driver reads last line)
+            for family, bsz, n in (
+                ("absorbing", 4096, 109),
+                ("transdimensional", 1024, 128),
+                ("mbm", min(args.batch_size, 8192), args.particles),
+            ):
+                if args.smoke:
+                    bsz, n = args.batch_size, 64
+                bench_train(args, family, batch_size=bsz, particles=n)
         return
 
     if args.model != "all":

@@ -292,16 +292,23 @@ def absorbing_sample(key, t, target_mask, gamma, target_dropout=0.0):
     Returns:
       (B, N, 1) int mask.
     """
-    target_alive = target_mask > 0
+    dropped = None
     if target_dropout > 0.0:
         key, key_drop = jax.random.split(key)
         u2 = jax.random.uniform(key_drop, target_mask.shape)
         drop_p = target_dropout * absorbing_survival_probability(t, gamma)
-        target_alive = target_alive & (u2 >= drop_p)
+        dropped = u2 < drop_p
     u = jax.random.uniform(key, target_mask.shape)
     survival = absorbing_survival_probability(t, gamma)
     mask_t = (u < survival).astype(jnp.int32)
-    return jnp.where(target_alive, 1, mask_t)
+    out = jnp.where(target_mask > 0, 1, mask_t)
+    if dropped is not None:
+        # dropped target slots are DEAD outright (not an extras draw), so
+        # P(alive | target) = 1 - dropout*SP(t): 1-dropout at t=0 — the
+        # under-multiplicity-init regime the head must learn to revive —
+        # rising to 1 at t=1
+        out = jnp.where((target_mask > 0) & dropped, 0, out)
+    return out
 
 
 def absorbing_rate(t, mask_t, logits, gamma):

@@ -372,24 +372,33 @@ class JumpSampler:
                     )
                 chain_dt = dt
                 if getattr(cfg, "exact_rate_integral", True):
-                    # rev(d, s) = f(s)/L(s) * G(d, x) with the net's G frozen
-                    # at the step's left endpoint; since dL/ds = f, the EXACT
-                    # step integral of f/L is ln L(t) - ln L(t-dt). The
-                    # left-endpoint product f*dt/L undersamples this
-                    # (log-singular as L→0+ at the rate cut) — the measured
-                    # root cause of the terminal-multiplicity undershoot.
-                    # Expressed as an effective dt so the frozen-rate chain
-                    # is reused: eff_dt = (L/f)(t) * [ln L(t) - ln L(t')]
-                    # with t' clamped to the grid's own floor.
+                    # Exact per-step time integral of the birth intensity
+                    # with the net's state-dependent factor G frozen at the
+                    # step's left endpoint, expressed as an effective dt so
+                    # the frozen-rate chain is reused. The time factor
+                    # depends on the rate head:
+                    #   x0-pred:  rev = f(s)/L(s) * G  and dL/ds = f, so
+                    #             ∫ f/L ds = ln L(t) - ln L(t')
+                    #             (log-singular as L→0+ at the rate cut —
+                    #             the measured root cause of the terminal-
+                    #             multiplicity undershoot)
+                    #   direct:   rev = f(s) * softplus(emb), so
+                    #             ∫ f ds = L(t) - L(t')
+                    # t' is clamped to the grid's own floor.
                     t_next = jnp.maximum(t_b - dt, _finish_at / 2)
                     lam_t = forward_rate.get_rate_integral(t_b)
                     lam_next = forward_rate.get_rate_integral(t_next)
-                    f_t = forward_rate.get_rate(None, t_b)
-                    chain_dt = (
-                        (jnp.log(lam_t) - jnp.log(lam_next))
-                        * lam_t
-                        / jnp.maximum(f_t, 1e-20)
-                    ).reshape(B)
+                    f_t = jnp.maximum(
+                        forward_rate.get_rate(None, t_b), 1e-20
+                    )
+                    if getattr(model.config.encoder, "rate_use_x0_pred",
+                               False):
+                        chain_dt = (
+                            (jnp.log(lam_t) - jnp.log(lam_next))
+                            * lam_t / f_t
+                        ).reshape(B)
+                    else:
+                        chain_dt = ((lam_t - lam_next) / f_t).reshape(B)
                 births = sample_birth_chain(key_jump, rates, chain_dt)
                 new_dims = jnp.minimum(state.dims + births, max_problem_dim)
                 added_mask = state.get_mask_flat(new_dims) - state.get_mask_flat(

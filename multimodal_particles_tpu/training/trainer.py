@@ -430,10 +430,10 @@ class Trainer:
                     {k: v for k, v in record.items() if isinstance(v, (int, float)) and v is not None},
                     step=record.get("step", 0),
                 )
-        except (ImportError, AttributeError):
-            # AttributeError: loading the torch reference for parity tests
-            # installs a bare mlflow *stub* into sys.modules
-            # (utils/torch_reference.py) which has no active_run
+        except ImportError:
+            # a torch-reference parity run installs an mlflow stub into
+            # sys.modules; utils/torch_reference.py makes it answer
+            # active_run() -> None so this block stays a no-op there
             pass
 
     # ------------------------------------------------------------ profiling

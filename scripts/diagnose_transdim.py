@@ -103,8 +103,10 @@ def main():
         return float((surv * pmf[None, :]).sum(axis=1).mean())
 
     dts = -np.diff(np.concatenate([diag["ts"], [0.0]]))
+    # 'births' = mean births per jet this step: equals the birth fraction
+    # (<=1) in single-birth mode, can exceed 1 with the multi-birth chain
     print(f"{'step':>5} {'t':>8} {'max|x|':>12} {'mean_dims':>10} "
-          f"{'fwd_marg':>9} {'birth_frac':>10} {'rate_mean':>10}")
+          f"{'fwd_marg':>9} {'births':>10} {'rate_mean':>10}")
     for i in list(range(0, T, args.print_every)) + [T - 1]:
         t_after = max(diag["ts"][i] - dts[i], 0.0)
         print(f"{i:>5} {diag['ts'][i]:>8.4f} {diag['max_abs_x'][i]:>12.4g} "

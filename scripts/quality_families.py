@@ -189,7 +189,9 @@ def run_absorbing(args):
         "epochs": args.epochs,
         "sampler_steps": config.bridge.num_timesteps,
         "gen_jets": args.gen_jets,
-        "final_train_loss": round(final["train_loss"], 4),
+        "final_train_loss": None
+        if final["train_loss"] is None
+        else round(final["train_loss"], 4),
         "final_val_loss": round(final["val_loss"], 4),
         "train_wall_s": round(train_s, 1),
         "gen_wall_s": round(gen_s, 1),
@@ -257,7 +259,7 @@ def run_transdimensional(args):
         with open(args.reuse_params, "rb") as f:
             params = pickle.load(f)
         train_s = 0.0
-        final = {"train_loss": float("nan")}
+        final = {"train_loss": None}  # reused params: no train run
         print(f"[transdim] reusing params from {args.reuse_params}")
     else:
         t0 = time.time()
@@ -432,7 +434,9 @@ def run_transdimensional(args):
         "sampler_steps": headline["sampler_steps"],
         "multi_birth": headline["multi_birth"],
         "gen_jets": args.gen_jets,
-        "final_train_loss": round(final["train_loss"], 4),
+        "final_train_loss": None
+        if final["train_loss"] is None
+        else round(final["train_loss"], 4),
         "train_wall_s": round(train_s, 1),
         "gen_wall_s": headline["gen_wall_s"],
         "metrics": headline["metrics"],

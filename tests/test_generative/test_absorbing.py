@@ -115,9 +115,10 @@ def test_bce_matches_definition(setup):
 
 def test_absorbing_sample_target_dropout_schedule():
     """Source-consistent augmentation: with target_dropout=d, a target slot
-    at time t is dropped to the extras path w.p. d*SP(t), so
-    P(alive | target) = 1 - d*SP(t)*(1 - SP(t)); d=0 keeps the reference
-    semantics (target slots always alive) on the identical random stream."""
+    at time t is DEAD w.p. d*SP(t), so P(alive | target) = 1 - d*SP(t)
+    (1-d at t=0 — the under-init regime — rising to 1 at t=1); d=0 keeps
+    the reference semantics (target slots always alive) on the identical
+    random stream."""
     import jax
 
     from multimodal_particles_tpu.models.generative.bridges import (
@@ -133,7 +134,7 @@ def test_absorbing_sample_target_dropout_schedule():
         sp = float(absorbing_survival_probability(jnp.float32(t), gamma))
         m = np.asarray(absorbing_sample(key, tt, target, gamma, d))
         p_alive = m.mean()
-        expected = 1.0 - d * sp * (1.0 - sp)
+        expected = 1.0 - d * sp
         assert abs(p_alive - expected) < 0.01, (t, p_alive, expected)
 
     # d=0 is bit-identical to the reference-semantics call

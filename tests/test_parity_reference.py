@@ -623,7 +623,7 @@ def test_get_rate_using_x0_pred_parity(ref_pkg):
 
 
 @pytest.fixture(scope="module")
-def transdim_pair(ref_pkg):
+def transdim_pair(ref_pkg, request):
     """(flax model+params, torch model, shared batch/facade) with the torch
     weights transplanted into the flax tree, in the reference's
     Embedding-discrete + flat ("dims") score-normalization mode — the exact
@@ -727,6 +727,14 @@ def transdim_pair(ref_pkg):
         return one_hot, target_discrete, tc, cc, cd, mask
 
     RefSDB.from_st_batch_to_multimodal_bridge_databatch = _fixed_to_mbd
+    # restore the real decode after this module: later tests must not
+    # silently inherit the pinned semantics
+    request.addfinalizer(
+        lambda: setattr(
+            RefSDB, "from_st_batch_to_multimodal_bridge_databatch",
+            _orig_to_mbd,
+        )
+    )
 
     torch.manual_seed(0)
     ref_model = RefTJD(ref_cfg, fake_dm)

@@ -31,6 +31,24 @@ Schedule note: with the 'C' dt schedule the reference advances time by the
 scheduled dt but still scales the EM/jump updates by the *base* `self.dt`
 (sampler.py:219-232), leaving the update inconsistent with the time actually
 stepped. Here the scheduled per-step dt is used consistently in both.
+
+Jump-solver redesigns beyond the reference (all default-on, all reducible
+to reference semantics with `multi_birth=1`; measured in
+benchmarks/quality_transdim.json and docs/ARCHITECTURE.md 2b/2c):
+  * multi-birth tau-leap (`multi_birth=K`): the reference births ≤1
+    particle/step (sampler.py:237-255) so its step count must scale with
+    multiplicity; here the per-level rate ladder is computed up front and
+    the pure-birth chain's exponential waiting times are sampled exactly;
+  * exact per-step intensity integral (`exact_rate_integral`): the x0-pred
+    reverse rate factorizes as f(t)/Λ(t)·G and f/Λ has an integrable log
+    singularity at the forward-rate cut — the left-endpoint product f·dt/Λ
+    undersamples it at ANY step count; since dΛ/dt = f the exact integral
+    ln Λ(t) − ln Λ(t−dt) is used as an effective dt (direct-rate-head
+    analog: (Λ(t) − Λ(t−dt))/f(t));
+  * analytic dims=1 posterior (`analytic_dim1_posterior`): at the
+    no-information dims=1 onset rows the x0-dim posterior is computed
+    exactly from the training multiplicity prior and the Poisson survival
+    P(K ≥ d0−1) instead of the (measurably biased) classifier.
 """
 
 import math

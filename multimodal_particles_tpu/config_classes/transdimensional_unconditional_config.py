@@ -158,9 +158,25 @@ class SamplerKwargs:
     # classifier is measurably biased low there (mean d0 37 vs analytic 43
     # at t=0.5 on the quality run) — the onset lag behind the forward
     # marginal that scripts/diagnose_transdim.py localizes. Requires the
-    # model to be built with a datamodule (for nodes_dist); silently
-    # inactive otherwise.
+    # model to be built with a datamodule (for nodes_dist) or a config
+    # carrying data.target_info['hist_num_particles'] (auto-wired); emits a
+    # loud UserWarning and falls back to the classifier otherwise.
     analytic_dim1_posterior: bool = True
+    # Extend the analytic posterior to EVERY state (multi-birth x0-pred
+    # path, requires analytic_dim1_posterior + a prior source): replace the
+    # classifier logits at all rows by the exact count-conditional posterior
+    #   log p(d0 | dims, t) = log p_prior(d0) + log Poisson_pmf(d0-dims; L(t))
+    # (dims>1; clamp survival at dims=1). The reverse birth rate then equals
+    # f(t)·p_t(dims+1)/p_t(dims) — the exact time-reversal of the forward
+    # death chain — so the terminal multiplicity distribution is the
+    # training prior itself, up to tau-leap discretization. Fixes the
+    # late-time classifier bias (r3's +4% terminal-mean overshoot, KL_mult
+    # 0.503): the classifier keeps predicting d0 > dims at caught-up states
+    # where the count evidence is already decisive. The classifier's x_t
+    # evidence only informs the multiplicity-kinematics correlation, which
+    # the x0 classifier is too biased to deliver at this data scale —
+    # set False to restore the round-3 dims=1-only behavior.
+    analytic_posterior_all_dims: bool = True
 
 
 @dataclass

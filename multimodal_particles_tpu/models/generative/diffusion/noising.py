@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln, logsumexp
+from jax.scipy.special import gammainc, gammaln, logsumexp
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +247,50 @@ def get_rate_using_x0_pred(x0_dim_logits, xt_dims, forward_rate, ts, max_dim):
     return forward_rate.get_rate(dims=None, ts=ts) * jnp.sum(
         ratios * x0_dim_probs, axis=1
     )
+
+
+def analytic_x0_dim_logits(prior_log_probs, dims, forward_rate, ts, max_dim):
+    """Exact count-conditional posterior log p(d0 | dims_t, t) of the forward
+    death chain: log prior(d0) + log P(dims_t | d0, t).
+
+    The forward corruption deletes at the state-independent rate f(t)
+    (clamped at dims=1), so given d0 the count likelihood is analytic:
+      dims_t = d > 1:  P = Poisson_pmf(d0 - d; Λ(t))  (d0 ≥ d, else 0)
+      dims_t = 1:      P = P(Poisson(Λ(t)) ≥ d0 - 1)  (clamp absorbs excess)
+    with Λ the forward-rate integral. Feeding these logits to the reverse
+    birth rate (`get_rate_using_x0_pred` / `get_birth_rates_for_offsets`)
+    makes the dims marginal an exact time-reversal of the forward death
+    chain — the terminal multiplicity distribution is the prior itself, up
+    to tau-leap discretization (tests/test_generative/
+    test_transdimensional.py::test_exact_rate_integral_restores_prior_
+    multiplicity pins this solver-only). The trained x0-dim classifier this
+    replaces is measurably biased both at the dims=1 onset (low) and at
+    late-time caught-up states (high → the +4% terminal-mean overshoot of
+    benchmarks/quality_transdim.json r3); the count evidence alone is
+    decision-sufficient for the *multiplicity marginal* by construction.
+
+    Args:
+      prior_log_probs: (max_dim,) log prior over d0 = 1..max_dim.
+      dims:            (B,) current dimensions (≥ 1).
+      ts:              (B,) times.
+    Returns:
+      (B, max_dim) posterior logits (unnormalized; -1e30 at impossible d0).
+    """
+    d0r = jnp.arange(1, max_dim + 1, dtype=jnp.float32)  # (D,)
+    lam = jnp.maximum(forward_rate.get_rate_integral(ts), 1e-30)[:, None]
+    k = d0r[None, :] - dims[:, None].astype(jnp.float32)  # (B, D) deletions
+    logpmf = jnp.where(
+        k >= 0.0, _poisson_logpmf(jnp.maximum(k, 0.0), lam), -1e30
+    )
+    # dims==1 rows: the clamp absorbs all excess deletions, so the
+    # likelihood is the survival P(K >= d0-1) = gammainc(d0-1, lam)
+    surv = jnp.where(
+        d0r[None, :] > 1.0,
+        jnp.log(gammainc(jnp.maximum(d0r[None, :] - 1.0, 1.0), lam) + 1e-30),
+        0.0,
+    )
+    lik = jnp.where((dims == 1)[:, None], surv, logpmf)
+    return jnp.asarray(prior_log_probs)[None, :] + lik
 
 
 def get_birth_rates_for_offsets(

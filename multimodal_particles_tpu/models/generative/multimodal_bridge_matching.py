@@ -112,12 +112,30 @@ class MultiModalBridgeMatching:
     # ---------------------------------------------------------------- forward
 
     def _pallas_enabled(self) -> bool:
+        """Narrow fused tier (ops/epic_pallas.py + the whole-step sampler
+        kernel): hidden ≤ 64 in the lane-layout regime."""
         from multimodal_particles_tpu.ops.epic_pallas import mbm_pallas_supported
 
         flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
         if flag is False:
             return False
         supported = mbm_pallas_supported(self.config)
+        if flag == "auto":
+            return supported and jax.default_backend() != "cpu"
+        return bool(flag) and supported
+
+    def _wide_pallas_enabled(self) -> bool:
+        """Wide fused tier (ops/epic_pallas_wide.py, row-major): every
+        feature width a lane multiple — the --scaled backbone regime where
+        the narrow kernel's VMEM footprint is pathological."""
+        from multimodal_particles_tpu.ops.epic_pallas_wide import (
+            wide_pallas_supported,
+        )
+
+        flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
+        if flag is False:
+            return False
+        supported = wide_pallas_supported(self.config)
         if flag == "auto":
             return supported and jax.default_backend() != "cpu"
         return bool(flag) and supported
@@ -163,18 +181,26 @@ class MultiModalBridgeMatching:
         return MultiHeadOutput(out[..., :dc], out[..., dc:], state.absorbing)
 
     def forward_pallas(self, params, state: HybridState, batch) -> MultiHeadOutput:
-        """Fused-kernel forward (ops/epic_pallas.py): one Pallas call runs
-        the entire encoder; used on the sampling hot path."""
-        from multimodal_particles_tpu.ops.epic_pallas import (
-            epic_forward_pallas,
-            pack_mbm_encoder_params,
-        )
+        """Fused-kernel forward: one Pallas call runs the entire encoder;
+        used on the sampling hot path. Narrow backbones use the lane-layout
+        kernel (ops/epic_pallas.py), wide (--scaled) ones the row-major
+        variant (ops/epic_pallas_wide.py)."""
+        if self._wide_pallas_enabled():
+            from multimodal_particles_tpu.ops.epic_pallas_wide import (
+                epic_forward_pallas_wide as kernel_fn,
+                pack_wide_encoder_params as pack_fn,
+            )
+        else:
+            from multimodal_particles_tpu.ops.epic_pallas import (
+                epic_forward_pallas as kernel_fn,
+                pack_mbm_encoder_params as pack_fn,
+            )
 
         cfg_d, cfg_e = self.config.data, self.config.encoder
-        packed = pack_mbm_encoder_params(
+        packed = pack_fn(
             params["encoder"], cfg_e.num_blocks, cfg_d.dim_features_continuous
         )
-        out = epic_forward_pallas(
+        out = kernel_fn(
             packed,
             state.time,
             state.continuous,
@@ -296,7 +322,11 @@ class MultiModalBridgeMatching:
         delta_t = (time_steps[-1] - time_steps[0]) / (cfg_b.num_timesteps - 1)
         B = state.continuous.shape[0]
 
-        forward = self.forward_pallas if self._pallas_enabled() else self.forward
+        forward = (
+            self.forward_pallas
+            if (self._pallas_enabled() or self._wide_pallas_enabled())
+            else self.forward
+        )
 
         def step(carry, t):
             state, key = carry

@@ -340,6 +340,7 @@ class JumpSampler:
                 # (reference: sampler.py:237-255).
                 if getattr(model.config.encoder, "rate_use_x0_pred", False):
                     from multimodal_particles_tpu.models.generative.diffusion.noising import (
+                        analytic_x0_dim_logits,
                         get_birth_rates_for_offsets,
                     )
 
@@ -347,35 +348,32 @@ class JumpSampler:
                         getattr(cfg, "analytic_dim1_posterior", False)
                         and dims_prior_log_probs is not None
                     ):
-                        # at dims==1 the state carries no usable evidence
-                        # about d0, so the posterior is analytic:
-                        # log p(d0|dims=1,t) = log p_prior(d0)
-                        #   + log P(Poisson(L(t)) >= d0-1)
-                        # (the clamped forward chain sits at 1 iff at least
-                        # d0-1 deletions fired). The trained classifier is
-                        # measurably biased low in exactly this regime —
-                        # see the config docstring and diagnose_transdim.
-                        lam_p = forward_rate.get_rate_integral(t_b)  # (B,)
-                        d0r = jnp.arange(
-                            1, max_problem_dim + 1, dtype=jnp.float32
+                        # exact count-conditional posterior
+                        # log p(d0 | dims, t) = log p_prior(d0)
+                        #   + log P(dims | d0, t)  (Poisson pmf / clamp
+                        # survival — see analytic_x0_dim_logits). The
+                        # trained classifier is measurably biased at the
+                        # dims=1 onset (low) AND at late-time caught-up
+                        # states (high → r3's +4% terminal-mean overshoot).
+                        analytic = analytic_x0_dim_logits(
+                            dims_prior_log_probs,
+                            state.dims,
+                            forward_rate,
+                            t_b,
+                            max_problem_dim,
                         )
-                        surv = jnp.where(
-                            d0r[None, :] > 1.0,
-                            jnp.log(
-                                jax.scipy.special.gammainc(
-                                    jnp.maximum(d0r[None, :] - 1.0, 1.0),
-                                    jnp.maximum(lam_p[:, None], 1e-30),
-                                )
-                                + 1e-30
-                            ),
-                            0.0,
-                        )  # (B, D) log P(K >= d0-1)
-                        analytic = (
-                            jnp.asarray(dims_prior_log_probs)[None, :] + surv
-                        )
-                        x0_logits = jnp.where(
-                            (state.dims == 1)[:, None], analytic, x0_logits
-                        )
+                        if getattr(cfg, "analytic_posterior_all_dims", True):
+                            # every row: the dims marginal becomes the exact
+                            # time-reversal of the forward death chain —
+                            # terminal multiplicity = the training prior up
+                            # to tau-leap discretization
+                            x0_logits = analytic
+                        else:
+                            # round-3 semantics: only the no-evidence
+                            # dims==1 onset rows
+                            x0_logits = jnp.where(
+                                (state.dims == 1)[:, None], analytic, x0_logits
+                            )
 
                     rates = get_birth_rates_for_offsets(
                         x0_logits, state.dims, K, forward_rate, t_b,

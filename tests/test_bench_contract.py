@@ -33,6 +33,174 @@ def test_bench_smoke_emits_json():
     assert result["value"] > 0
 
 
+def _load_bench():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _Proc:
+    def __init__(self, returncode, stdout="", stderr=""):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+_GOOD_LINE = (
+    '{"metric": "particle-cloud samples/sec/chip at 100-step hybrid sampler",'
+    ' "value": 82000.0, "unit": "jets/sec/chip", "vs_baseline": 39.4}'
+)
+_FLAKE_STDERR = (
+    "RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE: "
+    "TPU backend setup/compile error (Unavailable)."
+)
+
+
+def test_retry_recovers_from_backend_flake():
+    """The round-3 failure mode: backend init UNAVAILABLE on the first
+    attempts must be retried (kill / sleep / retry recipe), not fatal."""
+    bench = _load_bench()
+    calls, sleeps = [], []
+
+    def runner(cmd, **kw):
+        calls.append(cmd)
+        if len(calls) < 3:
+            return _Proc(1, stderr=_FLAKE_STDERR)
+        return _Proc(0, stdout=_GOOD_LINE + "\n")
+
+    lines, err = bench.run_family_with_retry(
+        ["python", "bench.py", "--model", "mbm"],
+        attempts=3, retry_sleep=30.0, runner=runner, sleep=sleeps.append,
+        log=lambda m: None,
+    )
+    assert err is None
+    assert lines[0]["value"] == 82000.0
+    assert len(calls) == 3
+    assert sleeps == [30.0, 30.0]
+
+
+def test_retry_recovers_from_subprocess_timeout():
+    """A hung tunnel (compile stall) is killed by the subprocess timeout and
+    retried after the chip-claim-clearing sleep."""
+    import subprocess as sp
+
+    bench = _load_bench()
+    calls, sleeps = [], []
+
+    def runner(cmd, timeout=None, **kw):
+        calls.append(timeout)
+        if len(calls) == 1:
+            raise sp.TimeoutExpired(cmd, timeout)
+        return _Proc(0, stdout=_GOOD_LINE + "\n")
+
+    lines, err = bench.run_family_with_retry(
+        ["python", "bench.py"], attempts=3, retry_sleep=5.0, timeout=900.0,
+        runner=runner, sleep=sleeps.append, log=lambda m: None,
+    )
+    assert err is None and len(lines) == 1
+    assert sleeps == [5.0]
+
+
+def test_real_error_is_not_retried():
+    bench = _load_bench()
+    calls = []
+
+    def runner(cmd, **kw):
+        calls.append(cmd)
+        return _Proc(1, stderr="ValueError: bad family")
+
+    lines, err = bench.run_family_with_retry(
+        ["python", "bench.py"], attempts=3, runner=runner,
+        sleep=lambda s: None, log=lambda m: None,
+    )
+    assert lines is None
+    assert "ValueError" in err
+    assert len(calls) == 1  # no retry burn on a deterministic failure
+
+
+def test_deadline_bounds_retries():
+    import time as _time
+
+    bench = _load_bench()
+
+    def runner(cmd, **kw):
+        return _Proc(1, stderr=_FLAKE_STDERR)
+
+    t0 = _time.monotonic()
+    lines, err = bench.run_family_with_retry(
+        ["python", "bench.py"], attempts=100, retry_sleep=0.0,
+        deadline=_time.monotonic() + 0.5, runner=runner,
+        sleep=lambda s: _time.sleep(0.2), log=lambda m: None,
+    )
+    assert lines is None
+    assert _time.monotonic() - t0 < 5.0
+
+
+def test_orchestrate_reemits_best_when_flagship_fails(monkeypatch, capsys):
+    """Per-family fault isolation: the MBM flagship failing must not starve
+    the driver — the best successful sampler line is re-emitted last."""
+    import argparse
+
+    bench = _load_bench()
+    absorbing_line = {"metric": "absorbing", "value": 9000.0,
+                      "unit": "jets/sec/chip", "vs_baseline": 4.3}
+    transdim_line = {"metric": "transdim", "value": 2200.0,
+                     "unit": "jets/sec/chip", "vs_baseline": 1.06}
+
+    def fake_run(cmd, **kw):
+        family = cmd[cmd.index("--model") + 1]
+        if family == "mbm":
+            return None, _FLAKE_STDERR
+        line = absorbing_line if family == "absorbing" else transdim_line
+        return [dict(line)], None
+
+    monkeypatch.setattr(bench, "run_family_with_retry", fake_run)
+    args = argparse.Namespace(
+        batch_size=32768, steps=100, iters=5, smoke=False, dtype="float32",
+        particles=128, train=False, pallas="auto", scaled=False,
+        family_timeout=900.0, retry_sleep=30.0, attempts=3, deadline=3000.0,
+        model="all",
+    )
+    rc = bench.orchestrate(args)
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # absorbing + transdim printed, then the best (absorbing) re-emitted last
+    assert lines[-1]["metric"] == "absorbing"
+    assert len(lines) == 3
+
+
+def test_orchestrate_reemits_flagship_last(monkeypatch, capsys):
+    import argparse
+
+    bench = _load_bench()
+
+    def fake_run(cmd, **kw):
+        family = cmd[cmd.index("--model") + 1]
+        train = "--train" in cmd
+        return [{"metric": f"{family}{' train' if train else ''}",
+                 "value": 1.0, "unit": "u",
+                 "vs_baseline": 39.0 if family == "mbm" else 2.0}], None
+
+    monkeypatch.setattr(bench, "run_family_with_retry", fake_run)
+    args = argparse.Namespace(
+        batch_size=32768, steps=100, iters=5, smoke=False, dtype="float32",
+        particles=128, train=False, pallas="auto", scaled=False,
+        family_timeout=900.0, retry_sleep=30.0, attempts=3, deadline=3000.0,
+        model="all",
+    )
+    assert bench.orchestrate(args) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # run order mbm, absorbing, transdim, mbm-train; flagship re-emitted last
+    assert [l["metric"] for l in lines] == [
+        "mbm", "absorbing", "transdimensional", "mbm train", "mbm",
+    ]
+
+
 def test_graft_entry_functions_exist():
     import importlib.util
 

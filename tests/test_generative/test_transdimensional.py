@@ -574,19 +574,19 @@ def test_multi_birth_sampler_beats_step_floor(model_and_batch):
 
 def test_exact_rate_integral_restores_prior_multiplicity():
     """Solver self-consistency, isolated from the network: replace the
-    x0-dim classifier by the ANALYTIC Bayes posterior (prior x Poisson
-    forward likelihood) and run the dims-only reverse birth chain. A correct
-    solver must then reproduce the prior's mean multiplicity. With the exact
-    per-step intensity integral ln L(t) - ln L(t-dt) it does at 64 steps;
-    the left-endpoint product f(t)*dt/L(t) (reference-style) measurably
-    undershoots — the diagnosed root cause of the terminal-multiplicity
-    deficit (reverse rate = f/L * G with an integrable log singularity of
-    f/L at the rate cut)."""
-    from jax.scipy.special import gammainc
-
+    x0-dim classifier by the ANALYTIC count-conditional posterior
+    (analytic_x0_dim_logits — the library function behind
+    sampler_kwargs.analytic_posterior_all_dims) and run the dims-only
+    reverse birth chain. A correct solver must then reproduce the prior's
+    multiplicity DISTRIBUTION (exact time-reversal of the forward death
+    chain). With the exact per-step intensity integral ln L(t) - ln L(t-dt)
+    it does at 64 steps; the left-endpoint product f(t)*dt/L(t)
+    (reference-style) measurably undershoots — the diagnosed root cause of
+    the terminal-multiplicity deficit (reverse rate = f/L * G with an
+    integrable log singularity of f/L at the rate cut)."""
     from multimodal_particles_tpu.models.generative.diffusion.noising import (
         StepForwardRate,
-        _poisson_logpmf,
+        analytic_x0_dim_logits,
         get_birth_rates_for_offsets,
     )
     from multimodal_particles_tpu.models.generative.transdimensional.sampler import (
@@ -595,26 +595,11 @@ def test_exact_rate_integral_restores_prior_multiplicity():
 
     B, D, K, steps = 4096, 64, 16, 64
     fr = StepForwardRate(max_dim=D, rate_cut_t=0.1)
-    d0r = jnp.arange(1, D + 1, dtype=jnp.float32)
     # smooth unimodal prior over 1..D, mean ~24
     prior = np.exp(-0.5 * ((np.arange(1, D + 1) - 24.0) / 7.0) ** 2)
     prior /= prior.sum()
     prior_mean = float((np.arange(1, D + 1) * prior).sum())
     log_prior = jnp.asarray(np.log(prior), jnp.float32)
-
-    def oracle_logits(dims, t_b):
-        """log p(d0 | dims, t): prior + forward-deletion likelihood —
-        pmf(d0 - dims; L) for dims >= 2, clamp-survival P(K >= d0-1) at 1."""
-        lam = fr.get_rate_integral(t_b)[:, None]  # (B, 1)
-        k = d0r[None, :] - dims[:, None].astype(jnp.float32)  # (B, D)
-        logpmf = jnp.where(k >= 0.0, _poisson_logpmf(jnp.maximum(k, 0.0), lam), -1e30)
-        surv = jnp.where(
-            d0r[None, :] > 1.0,
-            jnp.log(gammainc(jnp.maximum(d0r[None, :] - 1.0, 1.0), lam) + 1e-30),
-            0.0,
-        )
-        lik = jnp.where((dims == 1)[:, None], surv, logpmf)
-        return log_prior[None, :] + lik
 
     dt = 1.0 / steps
     floor = dt / 4.0
@@ -625,7 +610,8 @@ def test_exact_rate_integral_restores_prior_multiplicity():
             key, k_j = jax.random.split(key)
             t_b = jnp.full((B,), t)
             rates = get_birth_rates_for_offsets(
-                oracle_logits(dims, t_b), dims, K, fr, t_b, D
+                analytic_x0_dim_logits(log_prior, dims, fr, t_b, D),
+                dims, K, fr, t_b, D,
             )
             if exact:
                 lam_t = fr.get_rate_integral(t_b)
@@ -641,14 +627,22 @@ def test_exact_rate_integral_restores_prior_multiplicity():
         (dims, _), _ = jax.lax.scan(
             step, (jnp.ones((B,), jnp.int32), jax.random.PRNGKey(0)), ts
         )
-        return float(dims.mean())
+        return np.asarray(dims)
 
-    mean_exact = run(exact=True)
-    mean_left = run(exact=False)
+    dims_exact = run(exact=True)
+    dims_left = run(exact=False)
+    mean_exact = float(dims_exact.mean())
+    mean_left = float(dims_left.mean())
     # exact integral: within a few percent of the prior mean
     assert abs(mean_exact - prior_mean) < 0.05 * prior_mean, (
         mean_exact, prior_mean
     )
+    # ...and the full terminal DISTRIBUTION matches the prior: small KL
+    # (exact reversal up to tau-leap discretization + B=4096 sampling noise)
+    hist = np.bincount(dims_exact, minlength=D + 1)[1:].astype(np.float64)
+    q = (hist + 1e-3) / (hist + 1e-3).sum()
+    kl = float(np.sum(prior * np.log(prior / q)))
+    assert kl < 0.05, kl
     # left-endpoint: measurably short (the bug this guards against)
     assert mean_left < mean_exact - 0.5, (mean_left, mean_exact)
 
@@ -672,7 +666,10 @@ def test_dims_prior_log_probs_smoothed_and_wired():
     cfg = TransdimensionalEpicConfig()
     cfg.data.max_num_particles = 64
     model = TransdimensionalJumpDiffusion(cfg)
-    assert model._dims_prior_log_probs(64) is None  # no datamodule
+    # no datamodule AND no config histogram → loud warning, classifier
+    # fallback (VERDICT r3 #4: never a *silent* quality downgrade)
+    with pytest.warns(UserWarning, match="analytic_dim1_posterior"):
+        assert model._dims_prior_log_probs(64) is None
 
     hist = {20: 5, 24: 10, 30: 5}  # sparse empirical histogram
     model.graphical_structure = SimpleNamespace(nodes_dist=DistributionNodes(hist))
@@ -687,3 +684,45 @@ def test_dims_prior_log_probs_smoothed_and_wired():
     # off switch
     cfg.sampler_kwargs.analytic_dim1_posterior = False
     assert model._dims_prior_log_probs(64) is None
+
+
+def test_dims_prior_autowired_from_config_histogram():
+    """A model built WITHOUT a datamodule but whose config carries the
+    training multiplicity histogram (data.target_info['hist_num_particles'],
+    the JetsDataloaderModule.update_config contract) auto-derives the
+    analytic-posterior prior — no silent downgrade to the biased dims=1
+    classifier (VERDICT r3 #4)."""
+    import warnings
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional import (
+        TransdimensionalJumpDiffusion,
+    )
+
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.max_num_particles = 64
+    cfg.data.target_info["hist_num_particles"] = {20: 5, 24: 10, 30: 5}
+    model = TransdimensionalJumpDiffusion(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning here is a failure
+        lp = model._dims_prior_log_probs(64)
+    assert lp is not None and lp.shape == (64,)
+    p = np.exp(np.asarray(lp, np.float64))
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+    mean = (np.arange(1, 65) * p).sum()
+    assert 22.0 < mean < 27.0
+    # matches the datamodule-attached path exactly
+    from types import SimpleNamespace
+
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        DistributionNodes,
+    )
+
+    model.graphical_structure = SimpleNamespace(
+        nodes_dist=DistributionNodes({20: 5, 24: 10, 30: 5})
+    )
+    np.testing.assert_allclose(
+        np.asarray(model._dims_prior_log_probs(64)), np.asarray(lp), rtol=1e-6
+    )

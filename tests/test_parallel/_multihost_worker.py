@@ -1,7 +1,8 @@
 """Subprocess worker for the 2-process jax.distributed localhost test
 (tests/test_parallel/test_multihost.py). Each worker owns 4 virtual CPU
 devices (XLA_FLAGS set by the parent), joins the coordination service, and
-runs ONE data-parallel train step where shard_batch takes the
+runs ONE data-parallel train step PER MODEL FAMILY (mbm, absorbing,
+transdimensional — VERDICT r3 #6) where shard_batch takes the
 `jax.make_array_from_process_local_data` multi-host branch
 (parallel/mesh.py:69-71) — each process feeds only its local rows of the
 global batch."""
@@ -13,6 +14,8 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+FAMILIES = ("mbm", "absorbing", "transdimensional")
 
 
 def main():
@@ -43,26 +46,28 @@ def main():
     assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.local_devices()) == n_global // nproc
 
-    # identical deterministic global batch in every process (seed 0);
-    # this process contributes ONLY its contiguous local row block
-    model, config, batch = _tiny_family("mbm", n_global)
-    B = config.data.batch_size
-    lo, hi = pid * B // nproc, (pid + 1) * B // nproc
-    local = jax.tree_util.tree_map(lambda x: np.asarray(x)[lo:hi], batch)
+    losses = {}
+    for family in FAMILIES:
+        # identical deterministic global batch in every process (seed 0);
+        # this process contributes ONLY its contiguous local row block
+        model, config, batch = _tiny_family(family, n_global)
+        B = config.data.batch_size
+        lo, hi = pid * B // nproc, (pid + 1) * B // nproc
+        local = jax.tree_util.tree_map(lambda x: np.asarray(x)[lo:hi], batch)
 
-    mesh = make_device_mesh(data_axis=n_global, model_axis=1)
-    trainer = Trainer(model, config, mesh=mesh)
-    trainer.setup(local, steps_per_epoch=1)
-    sharded = shard_batch(local, mesh)
-    state, metrics = trainer._train_step(
-        trainer.state, jax.random.PRNGKey(0), sharded
-    )
-    loss = float(metrics["loss"])
+        mesh = make_device_mesh(data_axis=n_global, model_axis=1)
+        trainer = Trainer(model, config, mesh=mesh)
+        trainer.setup(local, steps_per_epoch=1)
+        sharded = shard_batch(local, mesh)
+        state, metrics = trainer._train_step(
+            trainer.state, jax.random.PRNGKey(0), sharded
+        )
+        losses[family] = float(metrics["loss"])
 
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump(
             {
-                "loss": loss,
+                "losses": losses,
                 "process_count": int(jax.process_count()),
                 "global_devices": int(n_global),
                 "local_devices": len(jax.local_devices()),

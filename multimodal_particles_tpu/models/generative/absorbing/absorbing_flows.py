@@ -193,18 +193,38 @@ class AbsorbingFlow:
             survival_head_pallas,
         )
 
+        from multimodal_particles_tpu.ops.epic_pallas_wide import (
+            epic_forward_pallas_wide,
+            pack_wide_encoder_params,
+            wide_pallas_supported,
+        )
+
         gen_params = params["generator"]
         interpret = jax.default_backend() == "cpu"
-        if epic_pattern_supported(self.config):
+        # trunk tier: wide row-major kernel when every feature width is a
+        # lane multiple (the narrow kernel's VMEM footprint is pathological
+        # there — see ops/epic_pallas_wide.py), narrow lane-layout kernel in
+        # its hidden ≤ 64 regime, flax otherwise
+        use_wide = wide_pallas_supported(self.config)
+        use_narrow = (
+            not use_wide
+            and epic_pattern_supported(self.config)
+            and self.config.encoder.dim_hidden_local <= 64
+        )
+        if use_wide or use_narrow:
+            trunk_fn = epic_forward_pallas_wide if use_wide else epic_forward_pallas
+            trunk_pack = (
+                pack_wide_encoder_params if use_wide else pack_mbm_encoder_params
+            )
             cfg_d, cfg_e = self.config.data, self.config.encoder
             trunk_tree = {"epic": gen_params["epic"]}
             if cfg_e.add_discrete_head:
                 trunk_tree["fc_layer"] = gen_params["discrete_head_mlp"]
-            packed_trunk = pack_mbm_encoder_params(
+            packed_trunk = trunk_pack(
                 trunk_tree, cfg_e.num_blocks, cfg_d.dim_features_continuous
             )
             mask_f = state.mask_t.astype(state.continuous.dtype)
-            out, last = epic_forward_pallas(
+            out, last = trunk_fn(
                 packed_trunk,
                 state.time,
                 state.continuous,

@@ -311,11 +311,22 @@ class TransdimensionalJumpDiffusion:
         flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
         if flag is False:
             return False
+        from multimodal_particles_tpu.ops.epic_pallas_wide import (
+            wide_pallas_supported,
+        )
+
+        # trunk covered by the narrow lane-layout kernel (hidden ≤ 64 — its
+        # VMEM regime) or the wide row-major one (every width a lane
+        # multiple); see ops/epic_pallas_wide.py for the split
+        trunk_ok = (
+            epic_pattern_supported(self.config, allow_linear_discrete=True)
+            and enc.dim_hidden_local <= 64
+        ) or wide_pallas_supported(self.config, allow_linear_discrete=True)
         supported = (
             enc.transformer_dim % 128 == 0
             and enc.transformer_dim % max(enc.n_heads, 1) == 0
             and enc.n_attn_blocks >= 1
-            and epic_pattern_supported(self.config, allow_linear_discrete=True)
+            and trunk_ok
         )
         if flag == "auto":
             return supported and _jax.default_backend() != "cpu"
@@ -342,6 +353,13 @@ class TransdimensionalJumpDiffusion:
             stack_time_embeddings,
         )
 
+        from multimodal_particles_tpu.ops.epic_pallas_wide import (
+            epic_forward_pallas_wide,
+            pack_wide_encoder_params,
+            pack_wide_encoder_params_fold_discrete,
+            wide_pallas_supported,
+        )
+
         cfg_d, enc = self.config.data, self.config.encoder
         B, N = state.B, state.N
         Dc, V = cfg_d.dim_features_continuous, cfg_d.vocab_size_features
@@ -349,26 +367,38 @@ class TransdimensionalJumpDiffusion:
         x = state.continuous
         node_mask = state.particle_mask()[:, :, None]
         linear_discrete = enc.embedding_features_discrete == "Linear"
+        use_wide = wide_pallas_supported(self.config, allow_linear_discrete=True)
 
-        # --- trunk (fused); Linear-discrete folds the one-hot values into
-        # the continuous input (see TransdimensionalEPiC.__call__)
+        # --- trunk (fused; wide row-major kernel at lane-multiple widths,
+        # narrow lane-layout kernel otherwise); Linear-discrete folds the
+        # one-hot values into the continuous input (see
+        # TransdimensionalEPiC.__call__)
         if linear_discrete:
             from multimodal_particles_tpu.ops.epic_pallas import (
                 pack_encoder_params_fold_discrete,
             )
 
-            packed_trunk = pack_encoder_params_fold_discrete(
+            pack_fold = (
+                pack_wide_encoder_params_fold_discrete
+                if use_wide
+                else pack_encoder_params_fold_discrete
+            )
+            packed_trunk = pack_fold(
                 {"epic": net_params["epic"]}, enc.num_blocks, Dc
             )
             x_in = jnp.concatenate([x, state.discrete], axis=-1)
             tokens = jnp.zeros((B, N, 1), jnp.int32)
         else:
-            packed_trunk = pack_mbm_encoder_params(
+            pack_plain = (
+                pack_wide_encoder_params if use_wide else pack_mbm_encoder_params
+            )
+            packed_trunk = pack_plain(
                 {"epic": net_params["epic"]}, enc.num_blocks, Dc
             )
             x_in = x
             tokens = jnp.argmax(state.discrete, axis=-1)[..., None]
-        net_out, net_last_layer = epic_forward_pallas(
+        trunk_fn = epic_forward_pallas_wide if use_wide else epic_forward_pallas
+        net_out, net_last_layer = trunk_fn(
             packed_trunk,
             ts.reshape(B, 1, 1),
             x_in,

@@ -50,26 +50,34 @@ from multimodal_particles_tpu.ops.epic_pallas import (
     _leaky,
     _mm,
     _selu,
+    pack_encoder_params_fold_discrete,
     pack_mbm_encoder_params,
 )
 
 
+def _flip_packed(packed):
+    """Transpose a lane-layout weight tuple to NATURAL (in, out) orientation
+    for the row-major kernel; biases become (1, d) rows. (Both cases are the
+    same swap of the last two axes.)"""
+    return tuple(jnp.swapaxes(w, -2, -1) for w in packed)
+
+
 def pack_wide_encoder_params(encoder_params, num_blocks: int, dim_c: int = 3):
-    """flax param tree → flat tuple of effective weights in NATURAL
-    (in, out) orientation for the row-major kernel; biases as (1, d) rows.
+    """flax param tree → flat tuple of effective weights in natural
+    orientation. Reuses pack_mbm_encoder_params (which resolves weight norm
+    and splits the output layer) and transposes each piece back."""
+    return _flip_packed(pack_mbm_encoder_params(encoder_params, num_blocks, dim_c))
 
-    Reuses pack_mbm_encoder_params (which resolves weight norm and splits
-    the output layer) and transposes each piece back."""
-    packed = pack_mbm_encoder_params(encoder_params, num_blocks, dim_c)
 
-    def flip(name, w):
-        if name.startswith("b_"):
-            # (d, 1) → (1, d); stacked (L, d, 1) → (L, 1, d)
-            return jnp.swapaxes(w, -2, -1)
-        # (out, in) → (in, out); stacked (L, out, in) → (L, in, out)
-        return jnp.swapaxes(w, -2, -1)
-
-    return tuple(flip(n, w) for n, w in zip(WEIGHT_NAMES, packed))
+def pack_wide_encoder_params_fold_discrete(
+    encoder_params, num_blocks: int, dim_c: int = 3
+):
+    """Natural-orientation packing for Linear-discrete embeddings (the
+    transdimensional trunk): the discrete Dense is folded block-diagonally
+    into the continuous embedding — see pack_encoder_params_fold_discrete."""
+    return _flip_packed(
+        pack_encoder_params_fold_discrete(encoder_params, num_blocks, dim_c)
+    )
 
 
 def _pool(x, mask, TB, N):
@@ -87,16 +95,17 @@ def _bcast(g, TB, N):
 
 
 def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
-                       use_skip):
+                       use_skip, fold_discrete=False):
     """The EPiC forward in (rows, features) layout.
 
     Args (all in-kernel values):
-      x:    (TB·N, dim_in) continuous features
-      k_col:(TB·N, 1) int tokens
+      x:    (TB·N, dim_in) continuous features (with fold_discrete the
+            one-hot channel VALUES ride here and w_x is block-diagonal)
+      k_col:(TB·N, 1) int tokens (ignored when fold_discrete)
       mask: (TB·N, 1)
       temb: (TB, E_t) per-JET time embedding
       W:    dict of natural-orientation weights
-    Returns (cont, disc) row-major head outputs.
+    Returns (cont, disc, disc_pre, h) row-major head outputs.
     """
     f32 = jnp.float32
     rows = TB * N
@@ -109,11 +118,16 @@ def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
 
     # ---- input embeddings (reference: utils.py:112-172)
     x_emb = _mm(x, W["w_x"]) + W["b_x"]
-    k_onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows, vocab), 1) == k_col
-    ).astype(f32)
-    k_emb = _mm(k_onehot, W["table"])
-    feats = jnp.concatenate([t_local, x_emb, k_emb], axis=1) * mask
+    if fold_discrete:
+        # Linear-discrete mode: x_emb IS [x_emb ‖ k_emb] (block-diagonal
+        # w_x); the token-embedding block is skipped entirely
+        feats = jnp.concatenate([t_local, x_emb], axis=1) * mask
+    else:
+        k_onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, vocab), 1) == k_col
+        ).astype(f32)
+        k_emb = _mm(k_onehot, W["table"])
+        feats = jnp.concatenate([t_local, x_emb, k_emb], axis=1) * mask
 
     # ---- projection (reference: epic.py:164-191)
     h = _leaky(_mm(feats, W["w_l0"]) + W["b_l0"])
@@ -152,6 +166,7 @@ def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
 def _epic_wide_kernel(
     x_ref, k_ref, mask_ref, temb_ref, *rest,
     TB, N, vocab, num_blocks, use_skip, add_discrete_head, output_hidden,
+    fold_discrete=False,
 ):
     n_outs = 3 if output_hidden else 2
     w_refs, out_refs = rest[:-n_outs], rest[-n_outs:]
@@ -159,6 +174,7 @@ def _epic_wide_kernel(
     cont, disc, disc_pre, h = _forward_acts_wide(
         x_ref[:], k_ref[:], mask_ref[:], temb_ref[:], W,
         TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
+        fold_discrete=fold_discrete,
     )
     out_refs[0][:] = cont
     out_refs[1][:] = disc if add_discrete_head else disc_pre
@@ -178,6 +194,7 @@ _WIDE_TILE_JETS = 8
     static_argnames=(
         "num_blocks", "use_skip", "add_discrete_head", "dim_c", "vocab",
         "hidden", "dim_emb_time", "output_hidden_local", "interpret",
+        "fold_discrete",
     ),
 )
 def epic_forward_pallas_wide(
@@ -196,6 +213,7 @@ def epic_forward_pallas_wide(
     dim_emb_time,
     output_hidden_local=False,
     interpret=False,
+    fold_discrete=False,
 ):
     """Fused EPiC forward, wide-hidden row-major variant.
 
@@ -241,6 +259,7 @@ def epic_forward_pallas_wide(
         use_skip=use_skip,
         add_discrete_head=add_discrete_head,
         output_hidden=output_hidden_local,
+        fold_discrete=fold_discrete,
     )
 
     def row_spec(d, block_rows):
@@ -285,19 +304,33 @@ def epic_forward_pallas_wide(
     return out
 
 
-def wide_pallas_supported(config) -> bool:
+def wide_pallas_supported(config, allow_linear_discrete: bool = False) -> bool:
     """True when the wide row-major kernel covers the encoder: the narrow
     kernel's pattern gate plus every feature width a LANE multiple (so all
     in-kernel concatenations are lane-aligned — the regime where the narrow
-    kernel's (features, lanes) layout OOMs VMEM)."""
+    kernel's (features, lanes) layout OOMs VMEM).
+
+    allow_linear_discrete additionally accepts the Linear (one-hot valued)
+    discrete embedding — callers must then feed [x ‖ one-hot] with
+    fold_discrete=True and pack via pack_wide_encoder_params_fold_discrete
+    (the transdimensional trunk does). In that mode the folded embedding
+    width is the SUM of the two embedding widths, so the sum must be a lane
+    multiple (each being one suffices)."""
     from multimodal_particles_tpu.ops.epic_pallas import epic_pattern_supported
 
     e = config.encoder
-    return (
-        epic_pattern_supported(config)
+    if not (
+        epic_pattern_supported(config, allow_linear_discrete)
         and e.dim_hidden_local % 128 == 0
         and e.dim_hidden_glob % 128 == 0
         and e.dim_emb_time % 128 == 0
-        and e.dim_emb_features_continuous % 128 == 0
+    ):
+        return False
+    if allow_linear_discrete and e.embedding_features_discrete == "Linear":
+        return (
+            e.dim_emb_features_continuous + e.dim_emb_features_discrete
+        ) % 128 == 0
+    return (
+        e.dim_emb_features_continuous % 128 == 0
         and e.dim_emb_features_discrete % 128 == 0
     )

@@ -86,3 +86,102 @@ def test_wide_pallas_matches_flax(B, N):
 def test_wide_gate_rejects_narrow_config():
     cfg = MultimodalBridgeMatchingConfig.from_yaml(CONFIG_PATH)
     assert not wide_pallas_supported(cfg)  # hidden 16-ish: narrow regime
+
+
+def test_wide_transdim_trunk_matches_flax():
+    """Fold-discrete (Linear-embedding) wide trunk: the transdimensional
+    _network_fused at scaled widths must reproduce the flax network."""
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional import (
+        TransdimensionalJumpDiffusion,
+    )
+    from multimodal_particles_tpu.models.generative.transdimensional.structure import (
+        StructuredState,
+    )
+
+    cfg = TransdimensionalEpicConfig()
+    cfg.data.return_type = "list"
+    cfg.data.max_num_particles = 24
+    cfg.encoder.num_blocks = 2
+    cfg.encoder.dim_hidden_local = 128
+    cfg.encoder.dim_hidden_glob = 128
+    cfg.encoder.dim_emb_time = 128
+    cfg.encoder.dim_emb_features_continuous = 128
+    cfg.encoder.dim_emb_features_discrete = 128
+    assert wide_pallas_supported(cfg, allow_linear_discrete=True)
+    model = TransdimensionalJumpDiffusion(cfg)
+
+    B, N = 2, cfg.data.max_num_particles
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dims = jnp.asarray([5, 17], jnp.int32)
+    state = StructuredState(
+        continuous=jax.random.normal(k1, (B, N, 3)),
+        discrete=jax.random.normal(k2, (B, N, 8)),
+        dims=dims,
+    ).delete_dims(dims)
+    params = model.init(k3, state)
+    ts = jnp.asarray([0.3, 0.8])
+    nearest = jnp.asarray([1, 4], jnp.int32)
+
+    expected = model.network.apply(
+        {"params": params["network"]}, state, ts, nearest, False, None
+    )
+    got = model._network_fused(
+        params["network"], state, ts, nearest, False, None, interpret=True
+    )
+    names = ("D_xt", "rate_emb", "near_logits", "auto_mean", "auto_std", "nearest")
+    for name, e, g in zip(names, expected, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(e), atol=5e-4, err_msg=name
+        )
+
+
+def test_wide_absorbing_trunk_matches_flax():
+    """The absorbing forward_sampling at scaled widths routes the trunk
+    through the wide kernel and must match the flax forward."""
+    from multimodal_particles_tpu.config_classes import AbsorbingConfig
+    from multimodal_particles_tpu.models.generative.absorbing.absorbing_flows import (
+        AbsorbingFlow,
+    )
+    from multimodal_particles_tpu.models.generative.states import (
+        AbsorbingBridgeState,
+    )
+
+    config = AbsorbingConfig()
+    config.data.batch_size = 4
+    config.data.max_num_particles = 24
+    config.encoder.num_blocks = 2
+    config.encoder.dim_hidden_local = 128
+    config.encoder.dim_hidden_glob = 128
+    config.encoder.dim_emb_time = 128
+    config.encoder.dim_emb_features_continuous = 128
+    config.encoder.dim_emb_features_discrete = 128
+    config.parallel.use_pallas = True  # force the kernels (interpret on CPU)
+    assert wide_pallas_supported(config)
+
+    model = AbsorbingFlow(config)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, JetsDataloaderModule.random_databatch(config)
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    rng = np.random.default_rng(7)
+    B = config.data.batch_size
+    state = AbsorbingBridgeState(
+        time=jnp.asarray(rng.uniform(0.05, 0.95, (B, 1, 1)), jnp.float32),
+        continuous=jnp.asarray(batch.source_continuous, jnp.float32),
+        discrete=jnp.asarray(batch.source_discrete),
+        mask_t=jnp.asarray(batch.source_mask, jnp.int32),
+    )
+
+    fused = model.forward_sampling(params, state, batch)
+    flax_heads = model.forward(params, state, batch)
+    for field in ("continuous", "discrete", "absorbing"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fused, field)),
+            np.asarray(getattr(flax_heads, field)),
+            rtol=5e-4, atol=5e-4, err_msg=field,
+        )

@@ -141,15 +141,22 @@ class MultiModalBridgeMatching:
         return bool(flag) and supported
 
     def _train_fused_fn(self):
-        """Cached custom-VJP fused forward (ops/epic_pallas_vjp.py) for the
-        training path."""
+        """Cached custom-VJP fused forward for the training path: the
+        narrow lane-layout pair (ops/epic_pallas_vjp.py) at hidden ≤ 64,
+        the wide row-major pair (ops/epic_pallas_wide_vjp.py) at
+        lane-multiple widths."""
         if getattr(self, "_train_fused_cache", None) is None:
-            from multimodal_particles_tpu.ops.epic_pallas_vjp import (
-                make_epic_train_forward,
-            )
+            if self._wide_pallas_enabled():
+                from multimodal_particles_tpu.ops.epic_pallas_wide_vjp import (
+                    make_epic_train_forward_wide as make_fn,
+                )
+            else:
+                from multimodal_particles_tpu.ops.epic_pallas_vjp import (
+                    make_epic_train_forward as make_fn,
+                )
 
             cfg_d, cfg_e = self.config.data, self.config.encoder
-            self._train_fused_cache = make_epic_train_forward(
+            self._train_fused_cache = make_fn(
                 num_blocks=cfg_e.num_blocks,
                 use_skip=cfg_e.skip_connection,
                 add_discrete_head=cfg_e.add_discrete_head,
@@ -164,14 +171,20 @@ class MultiModalBridgeMatching:
     def forward_train(self, params, state: HybridState, batch) -> MultiHeadOutput:
         """Training-path forward: the fused Pallas kernel with its
         hand-written backward kernel when enabled, else the flax stack."""
-        if not self._pallas_enabled():
+        wide = self._wide_pallas_enabled()
+        if not (self._pallas_enabled() or wide):
             return self.forward(params, state, batch)
-        from multimodal_particles_tpu.ops.epic_pallas import (
-            pack_mbm_encoder_params,
-        )
+        if wide:
+            from multimodal_particles_tpu.ops.epic_pallas_wide import (
+                pack_wide_encoder_params as pack_fn,
+            )
+        else:
+            from multimodal_particles_tpu.ops.epic_pallas import (
+                pack_mbm_encoder_params as pack_fn,
+            )
 
         cfg_d, cfg_e = self.config.data, self.config.encoder
-        packed = pack_mbm_encoder_params(
+        packed = pack_fn(
             params["encoder"], cfg_e.num_blocks, cfg_d.dim_features_continuous
         )
         out = self._train_fused_fn()(

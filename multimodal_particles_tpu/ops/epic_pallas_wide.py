@@ -105,7 +105,9 @@ def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
       mask: (TB·N, 1)
       temb: (TB, E_t) per-JET time embedding
       W:    dict of natural-orientation weights
-    Returns (cont, disc, disc_pre, h) row-major head outputs.
+    Returns (cont, disc, acts) — acts mirrors the narrow kernel's
+    activation dict (keys incl. disc_pre/h_final) and is what the
+    hand-written wide backward (ops/epic_pallas_wide_vjp.py) consumes.
     """
     f32 = jnp.float32
     rows = TB * N
@@ -115,6 +117,7 @@ def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
     )  # (TB, 1)
     ctx = temb  # (TB, E_t): the per-jet context IS the time embedding
     t_local = _bcast(temb, TB, N)  # (rows, E_t)
+    acts = {"denom": denom, "ctx": ctx}
 
     # ---- input embeddings (reference: utils.py:112-172)
     x_emb = _mm(x, W["w_x"]) + W["b_x"]
@@ -128,39 +131,64 @@ def _forward_acts_wide(x, k_col, mask, temb, W, *, TB, N, vocab, num_blocks,
         ).astype(f32)
         k_emb = _mm(k_onehot, W["table"])
         feats = jnp.concatenate([t_local, x_emb, k_emb], axis=1) * mask
+        acts["k_onehot"] = k_onehot
+    acts["feats"] = feats
 
     # ---- projection (reference: epic.py:164-191)
-    h = _leaky(_mm(feats, W["w_l0"]) + W["b_l0"])
-    s0 = _pool(h, mask, TB, N)
+    z_l0 = _mm(feats, W["w_l0"]) + W["b_l0"]
+    h_act = _leaky(z_l0)
+    acts["z_l0"] = z_l0
+    s0 = _pool(h_act, mask, TB, N)
     p0 = jnp.concatenate([s0 / denom, s0, ctx], axis=1)
-    g = _leaky(_mm(p0, W["w_g0"]) + W["b_g0"])
-    g = _leaky(_mm(g, W["w_g1"]) + W["b_g1"])
-    g = _leaky(_mm(g, W["w_g2"]) + W["b_g2"])
+    acts["p0"] = p0
+    z_g0 = _mm(p0, W["w_g0"]) + W["b_g0"]
+    a_g0 = _leaky(z_g0)
+    z_g1 = _mm(a_g0, W["w_g1"]) + W["b_g1"]
+    a_g1 = _leaky(z_g1)
+    z_g2 = _mm(a_g1, W["w_g2"]) + W["b_g2"]
+    g = _leaky(z_g2)
+    acts.update(z_g0=z_g0, a_g0=a_g0, z_g1=z_g1, a_g1=a_g1, z_g2=z_g2)
 
-    h = h * mask
+    h = h_act * mask
     skip_local = h if use_skip else 0.0
     skip_global = g if use_skip else 0.0
 
     # ---- EPiC layers (reference: epic.py:193-241)
+    layers = []
     for i in range(num_blocks):
+        la = {"h_in": h, "g_in": g}
         s = _pool(h, mask, TB, N)
         p = jnp.concatenate([s / denom, s, g, ctx], axis=1)
-        g1 = _leaky(_mm(p, W["w_fg1"][i]) + W["b_fg1"][i])
-        g_new = _leaky(_mm(g1, W["w_fg2"][i]) + W["b_fg2"][i] + g)
+        la["p"] = p
+        z_fg1 = _mm(p, W["w_fg1"][i]) + W["b_fg1"][i]
+        g1 = _leaky(z_fg1)
+        z_fg2 = _mm(g1, W["w_fg2"][i]) + W["b_fg2"][i] + g
+        g_new = _leaky(z_fg2)
+        la.update(z_fg1=z_fg1, g1=g1, z_fg2=z_fg2, g_new=g_new)
 
         hcat = jnp.concatenate([h, _bcast(g_new, TB, N), t_local], axis=1)
-        l1 = _leaky(_mm(hcat, W["w_fl1"][i]) + W["b_fl1"][i])
-        h_new = _leaky(_mm(l1, W["w_fl2"][i]) + W["b_fl2"][i] + h)
+        la["hcat"] = hcat
+        z_fl1 = _mm(hcat, W["w_fl1"][i]) + W["b_fl1"][i]
+        l1 = _leaky(z_fl1)
+        z_fl2 = _mm(l1, W["w_fl2"][i]) + W["b_fl2"][i] + h
+        h_new = _leaky(z_fl2)
+        la.update(z_fl1=z_fl1, l1=l1, z_fl2=z_fl2)
 
         h = h_new * mask + skip_local
         g = g_new + skip_global
+        layers.append(la)
+
+    acts["layers"] = layers
+    acts["h_final"] = h
 
     # ---- output + heads (reference: epic.py:145-162, mbm :102-113)
     cont = (_mm(h, W["w_out_c"]) + W["b_out_c"]) * mask
     disc_pre = (_mm(h, W["w_out_d"]) + W["b_out_d"]) * mask
-    a_h0 = _selu(_mm(disc_pre, W["w_h0"]) + W["b_h0"])
+    z_h0 = _mm(disc_pre, W["w_h0"]) + W["b_h0"]
+    a_h0 = _selu(z_h0)
     disc = _mm(a_h0, W["w_h1"]) + W["b_h1"]
-    return cont, disc, disc_pre, h
+    acts.update(disc_pre=disc_pre, z_h0=z_h0, a_h0=a_h0)
+    return cont, disc, acts
 
 
 def _epic_wide_kernel(
@@ -171,15 +199,15 @@ def _epic_wide_kernel(
     n_outs = 3 if output_hidden else 2
     w_refs, out_refs = rest[:-n_outs], rest[-n_outs:]
     W = dict(zip(WEIGHT_NAMES, [r[:] for r in w_refs]))
-    cont, disc, disc_pre, h = _forward_acts_wide(
+    cont, disc, acts = _forward_acts_wide(
         x_ref[:], k_ref[:], mask_ref[:], temb_ref[:], W,
         TB=TB, N=N, vocab=vocab, num_blocks=num_blocks, use_skip=use_skip,
         fold_discrete=fold_discrete,
     )
     out_refs[0][:] = cont
-    out_refs[1][:] = disc if add_discrete_head else disc_pre
+    out_refs[1][:] = disc if add_discrete_head else acts["disc_pre"]
     if output_hidden:
-        out_refs[2][:] = h
+        out_refs[2][:] = acts["h_final"]
 
 
 # jets per grid step: the largest live buffer at hidden 128 is

@@ -177,6 +177,13 @@ class SamplerKwargs:
     # the x0 classifier is too biased to deliver at this data scale —
     # set False to restore the round-3 dims=1-only behavior.
     analytic_posterior_all_dims: bool = True
+    # Gaussian smoothing (in particles) of the analytic posterior's
+    # multiplicity prior. 0.0 (default) = the EXACT empirical histogram:
+    # with analytic_posterior_all_dims the terminal multiplicity law IS
+    # this prior, and the exact histogram is the reference's own target
+    # (DistributionNodes) and the measured plug-in-KL floor. Set >0 (r3
+    # used sigma=2) to spread mass beyond the observed multiplicities.
+    analytic_prior_smoothing_sigma: float = 0.0
 
 
 @dataclass

@@ -648,9 +648,11 @@ def test_exact_rate_integral_restores_prior_multiplicity():
 
 
 def test_dims_prior_log_probs_smoothed_and_wired():
-    """_dims_prior_log_probs returns a normalized, kernel-smoothed log-prior
-    on the 1..N grid (support widened beyond the sparse histogram), and is
-    None when the feature is off or no datamodule was attached."""
+    """_dims_prior_log_probs returns a normalized log-prior on the 1..N
+    grid — the EXACT empirical histogram by default (the terminal
+    multiplicity target under the all-dims analytic posterior), optionally
+    kernel-smoothed via analytic_prior_smoothing_sigma — and is None when
+    the feature is off or no datamodule was attached."""
     from types import SimpleNamespace
 
     from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
@@ -677,10 +679,20 @@ def test_dims_prior_log_probs_smoothed_and_wired():
     assert lp.shape == (64,)
     p = np.exp(np.asarray(lp, np.float64))
     np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
-    # smoothing spreads mass to neighbors the histogram never saw
-    assert p[21] > 1e-4 and p[22] > 1e-4  # d0 = 22, 23 (0-indexed grid)
+    # default sigma=0: EXACT empirical law — no mass off the support
+    np.testing.assert_allclose(p[19], 0.25, rtol=1e-5)  # d0 = 20
+    np.testing.assert_allclose(p[23], 0.50, rtol=1e-5)  # d0 = 24
+    assert p[21] < 1e-12 and p[22] < 1e-12  # unseen multiplicities
     mean = (np.arange(1, 65) * p).sum()
-    assert 22.0 < mean < 27.0
+    assert 23.0 < mean < 25.0
+
+    # sigma>0 spreads mass to neighbors the histogram never saw (r3 mode)
+    cfg.sampler_kwargs.analytic_prior_smoothing_sigma = 2.0
+    p_s = np.exp(np.asarray(model._dims_prior_log_probs(64), np.float64))
+    np.testing.assert_allclose(p_s.sum(), 1.0, rtol=1e-5)
+    assert p_s[21] > 1e-4 and p_s[22] > 1e-4  # d0 = 22, 23
+    cfg.sampler_kwargs.analytic_prior_smoothing_sigma = 0.0
+
     # off switch
     cfg.sampler_kwargs.analytic_dim1_posterior = False
     assert model._dims_prior_log_probs(64) is None

@@ -48,7 +48,15 @@ benchmarks/quality_transdim.json and docs/ARCHITECTURE.md 2b/2c):
   * analytic dims=1 posterior (`analytic_dim1_posterior`): at the
     no-information dims=1 onset rows the x0-dim posterior is computed
     exactly from the training multiplicity prior and the Poisson survival
-    P(K ≥ d0−1) instead of the (measurably biased) classifier.
+    P(K ≥ d0−1) instead of the (measurably biased) classifier;
+  * analytic posterior at ALL states (`analytic_posterior_all_dims`, r4):
+    the exact count-conditional posterior p(d0|dims,t) ∝ prior(d0) ·
+    Poisson_pmf(d0−dims; Λ) replaces the classifier logits everywhere, so
+    the dims marginal is the exact time-reversal of the forward death
+    chain — terminal multiplicity = the training prior itself (the exact
+    empirical histogram by default, `analytic_prior_smoothing_sigma`).
+    Fixes the late-time classifier bias behind r3's +4% terminal-mean
+    overshoot (noising.analytic_x0_dim_logits).
 """
 
 import math

@@ -163,7 +163,8 @@ def orchestrate(args):
             ("mbm", args.batch_size, args.steps, args.particles, False),
             ("absorbing", 4096, args.steps, 109, False),
             # 96 steps = the quality-valid operating point (multi-birth
-            # tau-leap, KL_mult 0.503 vs 0.602 at 1000 single-birth steps —
+            # tau-leap + all-dims analytic posterior, KL_mult 0.0428 vs
+            # 0.602 at 1000 single-birth steps —
             # benchmarks/quality_transdim.json)
             ("transdimensional", 4096, 96, 128, False),
             # driver-visible train-throughput line (VERDICT r3 #8)

@@ -85,6 +85,18 @@ class BridgeConfig:
     # data-derived source masks; use 0.1 when generating from a possibly
     # wrong multiplicity law.
     target_dropout: float = 0.0
+    # Opt-in DEATH channel for the mask solver (beyond the reference, whose
+    # solver is birth-only — reference: models/generative/bridges.py:233-249).
+    # Sampling-time only (no retraining): an alive slot is a target slot
+    # with posterior p = sigmoid(head logit) — the head's BCE label is the
+    # target mask — and a non-target slot's bridge-conditional death hazard
+    # is h(t) = -d/dt log SP(t); the solver kills alive slots at
+    # scale·(1-p)·h(t) (bridges.absorbing_death_hazard). At 0.0 (default)
+    # the solver is exactly the reference's birth-only step. Use with
+    # target_dropout-trained heads to correct over-multiplicity generation
+    # inits the birth-only solver cannot
+    # (quality_absorbing_source_consistent.json uniform stress).
+    death_rate_scale: float = 0.0
 
 
 @dataclass

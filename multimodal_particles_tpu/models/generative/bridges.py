@@ -318,16 +318,41 @@ def absorbing_rate(t, mask_t, logits, gamma):
     return sp * jax.nn.sigmoid(logits)
 
 
-def absorbing_step(key, mask_t, rates, delta_t):
-    """Bernoulli-thinning birth step: one-way 0 → 1 transitions.
+def absorbing_death_hazard(t, gamma):
+    """Conditional death hazard of a NON-target alive slot at time t.
+
+    The bridge's forward marginal for a slot outside the target is
+    P(alive at t) = SP(t) (absorbing_survival_probability), so a
+    marginal-matching generative trajectory kills such a slot with hazard
+    h(t) = -d/dt log SP(t) = γ / (1 - e^{γ(t-1)}). h diverges at t → 1
+    (the solver clips dt·h to 1), guaranteeing non-target slots are dead
+    by the terminal step. Used by the opt-in death channel
+    (`BridgeConfig.death_rate_scale`) — beyond the reference, whose solver
+    is birth-only (reference: models/generative/bridges.py:233-249) and
+    therefore cannot correct an over-multiplicity generation init
+    (benchmarks/quality_absorbing_source_consistent.json uniform stress).
+    """
+    return gamma / jnp.maximum(1.0 - jnp.exp(gamma * (t - 1.0)), 1e-12)
+
+
+def absorbing_step(key, mask_t, rates, delta_t, death_rates=None):
+    """Bernoulli-thinning mask step: 0 → 1 births always; optional 1 → 0
+    deaths when `death_rates` is given (the opt-in death channel).
 
     Args:
       mask_t: (B, N, 1)
       rates:  (B, N, 1)
+      death_rates: (B, N, 1) or None
     """
+    if death_rates is not None:
+        key, key_d = jax.random.split(key)
     p = jnp.clip(delta_t * rates, 0.0, 1.0)
     births = jax.random.bernoulli(key, p).astype(jnp.int32)
-    return jnp.where(mask_t > 0, 1, births)
+    if death_rates is None:
+        return jnp.where(mask_t > 0, 1, births)
+    p_d = jnp.clip(delta_t * death_rates, 0.0, 1.0)
+    survives = 1 - jax.random.bernoulli(key_d, p_d).astype(jnp.int32)
+    return jnp.where(mask_t > 0, survives, births)
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +480,7 @@ class AbsorbingBridge:
     time_epsilon: float
     vocab_size: int = 2
     target_dropout: float = 0.0
+    death_rate_scale: float = 0.0
 
     @classmethod
     def from_config(cls, config):
@@ -462,6 +488,7 @@ class AbsorbingBridge:
             gamma_absorb=config.bridge.gamma_absorb,
             time_epsilon=config.bridge.time_eps,
             target_dropout=getattr(config.bridge, "target_dropout", 0.0),
+            death_rate_scale=getattr(config.bridge, "death_rate_scale", 0.0),
         )
 
     def survival_probability(self, t):
@@ -477,5 +504,20 @@ class AbsorbingBridge:
 
     def solver_step(self, key, state: AbsorbingBridgeState, heads, delta_t):
         rates = self.rate(t=state.time, k=state.mask_t, logits=heads.absorbing)
-        new_mask = absorbing_step(key, state.mask_t, rates, delta_t)
+        death_rates = None
+        if self.death_rate_scale > 0.0:
+            # opt-in death channel: an alive slot is a target slot with
+            # posterior p = sigmoid(head logit) (the head's BCE label IS
+            # the target mask) and never dies; otherwise it dies at the
+            # bridge's own conditional hazard. Marginalizing:
+            # rate = scale · (1 - p) · h(t).
+            p_target = jax.nn.sigmoid(heads.absorbing)
+            death_rates = (
+                self.death_rate_scale
+                * (1.0 - p_target)
+                * absorbing_death_hazard(state.time, self.gamma_absorb)
+            )
+        new_mask = absorbing_step(
+            key, state.mask_t, rates, delta_t, death_rates=death_rates
+        )
         return state.replace(mask_t=new_mask)

@@ -117,9 +117,13 @@ def run_seed(args, seed):
     config.data.num_jets = 100
     config.data.seed = seed
     config.bridge.num_timesteps = args.sampler_steps
-    # rebuild-only augmentation (the torch reference has no such knob);
-    # head-to-head runs keep the default 0.0 = exact reference semantics
+    # rebuild-only augmentations (the torch reference has no such knobs);
+    # head-to-head runs keep the defaults 0.0 = exact reference semantics
     config.bridge.target_dropout = args.target_dropout
+    # sampling-time-only death channel (BridgeConfig.death_rate_scale):
+    # affects generation, never training — cached params are reusable
+    # across death-scale sweeps
+    config.bridge.death_rate_scale = args.death_rate_scale
     epochs = args.epochs
     config.train.epochs = epochs
     config.train.scheduler_params["T_max"] = epochs
@@ -135,19 +139,51 @@ def run_seed(args, seed):
 
     # ------------------------------------------------------------- JAX train
     model = AbsorbingFlow(config)
-    trainer = Trainer(model, config, experiment_files=None, seed=seed)
-    dm.set_dataloader()
-    t0 = time.time()
-    history = trainer.fit(dm, epochs=epochs)
-    jax_train_s = time.time() - t0
-    jax_final = history[-1]
-    params = (
-        trainer.state.ema_params
-        if trainer.state.ema_params is not None
-        else trainer.state.params
-    )
-    print(f"[seed {seed}][jax] trained in {jax_train_s:.1f}s: "
-          f"train={jax_final['train_loss']:.4f}")
+    cache_path = None
+    if args.params_cache:
+        os.makedirs(args.params_cache, exist_ok=True)
+        # death_rate_scale is sampling-only, so it is deliberately NOT part
+        # of the cache key: one trained model serves a death-scale sweep
+        cache_path = os.path.join(
+            args.params_cache,
+            f"absorbing_s{seed}_d{args.target_dropout}_e{epochs}"
+            f"_st{args.sampler_steps}.pkl",
+        )
+    if cache_path and os.path.exists(cache_path):
+        import pickle
+
+        with open(cache_path, "rb") as f:
+            cached = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, cached["params"])
+        jax_final = {"train_loss": cached["final_train_loss"]}
+        jax_train_s = 0.0
+        print(f"[seed {seed}][jax] loaded cached params from {cache_path}")
+    else:
+        trainer = Trainer(model, config, experiment_files=None, seed=seed)
+        dm.set_dataloader()
+        t0 = time.time()
+        history = trainer.fit(dm, epochs=epochs)
+        jax_train_s = time.time() - t0
+        jax_final = history[-1]
+        params = (
+            trainer.state.ema_params
+            if trainer.state.ema_params is not None
+            else trainer.state.params
+        )
+        print(f"[seed {seed}][jax] trained in {jax_train_s:.1f}s: "
+              f"train={jax_final['train_loss']:.4f}")
+        if cache_path:
+            import pickle
+
+            with open(cache_path, "wb") as f:
+                pickle.dump(
+                    {
+                        "params": jax.tree_util.tree_map(np.asarray, params),
+                        "final_train_loss": jax_final["train_loss"],
+                    },
+                    f,
+                )
+            print(f"[seed {seed}][jax] cached params to {cache_path}")
 
     # ----------------------------------------------------------- torch train
     ref_model = ref_final_loss = torch_train_s = None
@@ -351,6 +387,14 @@ def main():
                     help="stress-test generation size (gen from a wrong "
                          "histogram is 2 extra gens per model per seed)")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--death-rate-scale", type=float, default=0.0,
+                    help="opt-in sampling-time death channel on the REBUILD "
+                         "side (see BridgeConfig.death_rate_scale); 0.0 = "
+                         "exact reference birth-only solver")
+    ap.add_argument("--params-cache", default=None,
+                    help="directory to cache/reuse trained rebuild params "
+                         "(keyed on seed/dropout/epochs/steps; death scale "
+                         "excluded — it is sampling-only)")
     ap.add_argument("--target-dropout", type=float, default=0.0,
                     help="source-consistent mask-bridge augmentation for "
                          "the REBUILD side (see BridgeConfig.target_dropout"
@@ -396,6 +440,7 @@ def main():
             "gen_jets": args.gen_jets,
             "stress_jets": args.stress_jets,
             "target_dropout": args.target_dropout,
+            "death_rate_scale": args.death_rate_scale,
             "platform": args.platform,
             "seeds_done": [r["seed"] for r in runs],
             "seeds": runs,

@@ -147,3 +147,67 @@ def test_absorbing_sample_target_dropout_schedule():
     np.testing.assert_array_equal(a, b)
     # target slots are never dead without dropout
     assert (a[np.asarray(tgt) > 0] == 1).all()
+
+
+def test_absorbing_death_channel_marginal_matching():
+    """Opt-in death channel (beyond the reference): with p(target)=0 the
+    death rate is the bridge's own conditional hazard h(t) = -d/dt log SP,
+    so an alive non-target slot's survival through the solver must track
+    the bridge marginal SP(t) itself (absorbing_death_hazard docstring)."""
+    from multimodal_particles_tpu.models.generative.bridges import (
+        absorbing_death_hazard,
+        absorbing_step,
+        absorbing_survival_probability,
+    )
+
+    B, N, gamma, steps = 20_000, 4, 0.125, 200
+    ts = np.linspace(0.0, 0.5, steps + 1)
+    dt = float(ts[1] - ts[0])
+    mask = jnp.ones((B, N, 1), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    for t in ts[:-1]:
+        h = absorbing_death_hazard(jnp.float32(t), gamma)
+        key, k = jax.random.split(key)
+        mask = absorbing_step(
+            k, mask, jnp.zeros((B, N, 1)), dt,
+            death_rates=jnp.full((B, N, 1), h),
+        )
+    survival = float(np.asarray(mask).mean())
+    expected = float(absorbing_survival_probability(jnp.float32(0.5), gamma))
+    assert abs(survival - expected) < 0.02, (survival, expected)
+
+
+def test_absorbing_death_channel_solver_semantics(setup):
+    """scale=0 keeps the reference's birth-only step bit-exactly; scale>0
+    with a confident head (|logit| large) kills exactly the head-rejected
+    alive slots by late time and never the accepted ones."""
+    from dataclasses import replace as dc_replace
+
+    cfg, model, params, batch = setup
+    state = model.sample_bridges(jax.random.PRNGKey(11), batch)
+    heads = model.forward(params, state, batch)
+
+    bridge0 = model.bridge_absorbing
+    assert bridge0.death_rate_scale == 0.0
+    ref = bridge0.solver_step(jax.random.PRNGKey(12), state, heads, 0.01)
+    again = dc_replace(bridge0, death_rate_scale=0.0).solver_step(
+        jax.random.PRNGKey(12), state, heads, 0.01
+    )
+    np.testing.assert_array_equal(np.asarray(ref.mask_t), np.asarray(again.mask_t))
+
+    # confident head: +20 logits on even slots, -20 on odd slots
+    N = state.mask_t.shape[1]
+    logits = jnp.where(
+        (jnp.arange(N) % 2 == 0)[None, :, None], 20.0, -20.0
+    ) * jnp.ones_like(heads.absorbing)
+    heads_conf = heads.replace(absorbing=logits)
+    bridge = dc_replace(bridge0, death_rate_scale=1.0)
+    # late time: hazard*dt large -> rejected alive slots must die
+    late = state.replace(time=jnp.full_like(state.time, 0.999))
+    out = bridge.solver_step(jax.random.PRNGKey(13), late, heads_conf, 0.05)
+    alive_before = np.asarray(state.mask_t) > 0
+    mask_after = np.asarray(out.mask_t)
+    even = (np.arange(N) % 2 == 0)[None, :, None] & alive_before
+    odd = (np.arange(N) % 2 == 1)[None, :, None] & alive_before
+    assert (mask_after[even] == 1).all()  # accepted slots never die
+    assert (mask_after[odd] == 0).all()  # rejected slots dead at t->1

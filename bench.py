@@ -73,7 +73,7 @@ def parse_json_lines(text):
 
 def run_family_with_retry(cmd, *, attempts=3, retry_sleep=30.0, timeout=900.0,
                           deadline=None, runner=subprocess.run,
-                          sleep=time.sleep, log=_log):
+                          sleep=time.sleep, log=_log, env=None):
     """Run one family subprocess, retrying backend flakes/stalls.
 
     Returns (json_lines, None) on success or (None, error_tail). A timeout
@@ -90,7 +90,8 @@ def run_family_with_retry(cmd, *, attempts=3, retry_sleep=30.0, timeout=900.0,
             if budget <= 10:
                 return None, last_err or "global deadline exhausted"
         try:
-            proc = runner(cmd, capture_output=True, text=True, timeout=budget)
+            proc = runner(cmd, capture_output=True, text=True, timeout=budget,
+                          env=env)
         except subprocess.TimeoutExpired:
             last_err = f"subprocess timed out after {budget:.0f}s"
             log(f"{' '.join(cmd[-8:])}: {last_err} (attempt {attempt}/{attempts});"
@@ -200,7 +201,28 @@ def orchestrate(args):
         # re-emit the flagship/best sampler line LAST (driver parses last line)
         print(json.dumps(final), flush=True)
     if not any_line:
-        _log("no family produced a result")
+        # Every family failed — the all-day-dead-tunnel scenario (round 3's
+        # BENCH record was a bare crash). Emit one HONEST, clearly-labeled
+        # CPU line for the flagship so the driver still captures proof the
+        # bench path runs end-to-end. The value is a real CPU measurement at
+        # the 100-step protocol (tiny batch), NOT a TPU number — the
+        # "platform" field says so explicitly.
+        _log("no family produced a TPU result; running the CPU fallback")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        lines, err = run_family_with_retry(
+            child("mbm", 128, 100, 128) + ["--iters", "1"],
+            attempts=1, retry_sleep=0.0,
+            timeout=max(600.0, deadline - time.monotonic()),
+            runner=subprocess.run, env=env,
+        )
+        if lines:
+            for line in lines:
+                line["platform"] = "cpu-fallback (TPU backend unavailable)"
+                line["metric"] += " [CPU FALLBACK — not a TPU number]"
+                print(json.dumps(line), flush=True)
+            return 0
+        _log(f"CPU fallback also failed: {err}")
         return 1
     return 0
 

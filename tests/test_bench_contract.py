@@ -201,6 +201,42 @@ def test_orchestrate_reemits_flagship_last(monkeypatch, capsys):
     ]
 
 
+def test_orchestrate_cpu_fallback_when_everything_fails(monkeypatch, capsys):
+    """The round-3 hole: with the tunnel dead ALL DAY every family fails and
+    the driver records nothing. The orchestrator must then emit one honest,
+    clearly-labeled CPU line for the flagship (never a bare rc=1)."""
+    import argparse
+
+    bench = _load_bench()
+    calls = []
+
+    def fake_run(cmd, env=None, **kw):
+        calls.append((cmd, env))
+        if env is not None and env.get("JAX_PLATFORMS") == "cpu":
+            return [{"metric": "particle-cloud samples/sec/chip at 100-step "
+                               "hybrid sampler",
+                     "value": 140.0, "unit": "jets/sec/chip",
+                     "vs_baseline": 0.067}], None
+        return None, _FLAKE_STDERR
+
+    monkeypatch.setattr(bench, "run_family_with_retry", fake_run)
+    args = argparse.Namespace(
+        batch_size=32768, steps=100, iters=5, smoke=False, dtype="float32",
+        particles=128, train=False, pallas="auto", scaled=False,
+        family_timeout=900.0, retry_sleep=30.0, attempts=3, deadline=3000.0,
+        model="all",
+    )
+    rc = bench.orchestrate(args)
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 1
+    assert lines[0]["platform"].startswith("cpu-fallback")
+    assert "CPU FALLBACK" in lines[0]["metric"]
+    # the fallback child was forced onto the CPU platform
+    cpu_calls = [c for c, e in calls if e and e.get("JAX_PLATFORMS") == "cpu"]
+    assert len(cpu_calls) == 1 and "--model" in cpu_calls[0]
+
+
 def test_graft_entry_functions_exist():
     import importlib.util
 

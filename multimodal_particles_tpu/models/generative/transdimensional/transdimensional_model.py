@@ -308,8 +308,12 @@ class TransdimensionalJumpDiffusion:
         from multimodal_particles_tpu.ops.epic_pallas import epic_pattern_supported
 
         enc = self.config.encoder
-        flag = getattr(getattr(self.config, "parallel", None), "use_pallas", "auto")
+        par = getattr(self.config, "parallel", None)
+        flag = getattr(par, "use_pallas", "auto")
         if flag is False:
+            return False
+        # tensor-parallel exclusion — same reasoning as mbm_pallas_supported
+        if getattr(par, "model_axis", 1) > 1:
             return False
         from multimodal_particles_tpu.ops.epic_pallas_wide import (
             wide_pallas_supported,

@@ -478,4 +478,9 @@ def mbm_pallas_supported(config) -> bool:
         epic_pattern_supported(config)
         and config.data.max_num_particles % 128 == 0
         and config.encoder.dim_hidden_local <= 64
+        # tensor-parallel runs shard the block kernels over 'model'
+        # (parallel/tp.py); a pallas_call consumes full arrays and would
+        # force XLA to all-gather them back — TP routes through the flax/XLA
+        # stack instead
+        and getattr(getattr(config, "parallel", None), "model_axis", 1) <= 1
     )

@@ -346,6 +346,11 @@ def wide_pallas_supported(config, allow_linear_discrete: bool = False) -> bool:
     multiple (each being one suffices)."""
     from multimodal_particles_tpu.ops.epic_pallas import epic_pattern_supported
 
+    # tensor-parallel runs shard the block kernels over 'model'
+    # (parallel/tp.py) — same exclusion as mbm_pallas_supported
+    if getattr(getattr(config, "parallel", None), "model_axis", 1) > 1:
+        return False
+
     e = config.encoder
     if not (
         epic_pattern_supported(config, allow_linear_discrete)

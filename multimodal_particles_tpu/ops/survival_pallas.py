@@ -355,6 +355,9 @@ def _swish_proj(stemb, p):
 def survival_pallas_supported(config) -> bool:
     """Kernel covers the shipped absorbing head family: channel width a
     lane multiple, heads dividing channels, no attention dim reduction."""
+    # tensor-parallel exclusion — same reasoning as mbm_pallas_supported
+    if getattr(getattr(config, "parallel", None), "model_axis", 1) > 1:
+        return False
     g = config.generator
     return (
         g.transformer_dim % 128 == 0

@@ -5,10 +5,11 @@ The TPU-native replacement for the reference's (absent) distributed backend
 
     ('data', 'model')
 
-Training and bulk sampling shard the batch axis over 'data'; parameters are
-replicated (models are 10^5-10^6 params — far below the threshold where model
-parallelism pays, but the 'model' axis is plumbed through so wider backbones
-can shard their hidden dims without touching the step functions).
+Training and bulk sampling shard the batch axis over 'data'. Parameters are
+replicated at `model_axis=1` (the default — the shipped models are
+10^5-10^6 params, below where model parallelism pays); at `model_axis>1`
+the trainer places them tensor-parallel via parallel/tp.py (Megatron-paired
+EPiC-block kernels over 'model') with the step functions untouched.
 
 Collectives are inserted by XLA from sharding annotations on jitted
 functions ("compiler-first" collectives, the scaling-book recipe) — there are

@@ -178,10 +178,22 @@ class Trainer:
         example_batch, _ = pad_to_multiple(example_batch, self.data_parallel)
         batch = shard_batch(example_batch, self.mesh)
         params = self.model.init(self.root_key, batch)
-        params = jax.device_put(params, replicated_sharding(self.mesh))
-        opt_state = jax.device_put(
-            self.tx.init(params), replicated_sharding(self.mesh)
-        )
+        if self.mesh.shape["model"] > 1:
+            # tensor-parallel placement (parallel/tp.py): Megatron-paired
+            # EPiC-block kernels shard over 'model'; the step functions are
+            # untouched — XLA SPMD derives the collectives. Optimizer
+            # moments mirror the param tree: EAGER tx.init zeros_like the
+            # sharded params, so the moments inherit their shardings (a
+            # jitted init would let the partitioner re-choose).
+            from multimodal_particles_tpu.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(params, self.mesh)
+            opt_state = self.tx.init(params)
+        else:
+            params = jax.device_put(params, replicated_sharding(self.mesh))
+            opt_state = jax.device_put(
+                self.tx.init(params), replicated_sharding(self.mesh)
+            )
         # fresh buffers: aliasing params would double-donate under jit
         ema_params = (
             jax.tree_util.tree_map(jnp.copy, params)
@@ -403,17 +415,43 @@ class Trainer:
         if self.state.ema_params is not None:
             target["ema_params"] = jax.device_get(self.state.ema_params)
         restored = ckptr.restore(os.path.abspath(path), target=target)
-        self.state = TrainState(
-            step=jnp.asarray(restored["step"]),
-            params=jax.device_put(restored["params"], replicated_sharding(self.mesh)),
-            opt_state=jax.device_put(
+        if self.mesh.shape["model"] > 1:
+            from multimodal_particles_tpu.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(restored["params"], self.mesh)
+            # optimizer moments mirror the param tree: take the shardings a
+            # fresh (eager, sharding-inheriting) tx.init gives them, then
+            # place the RESTORED values onto exactly those
+            placed = self.tx.init(params)
+            opt_state = jax.tree_util.tree_map(
+                lambda v, ref: jax.device_put(np.asarray(v), ref.sharding)
+                if hasattr(ref, "sharding")
+                else v,
+                restored["opt_state"],
+                placed,
+            )
+            ema_params = (
+                shard_params_tp(restored["ema_params"], self.mesh)
+                if "ema_params" in restored
+                else None
+            )
+        else:
+            params = jax.device_put(
+                restored["params"], replicated_sharding(self.mesh)
+            )
+            opt_state = jax.device_put(
                 restored["opt_state"], replicated_sharding(self.mesh)
-            ),
-            ema_params=(
+            )
+            ema_params = (
                 jax.device_put(restored["ema_params"], replicated_sharding(self.mesh))
                 if "ema_params" in restored
                 else None
-            ),
+            )
+        self.state = TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
         )
         return self.state
 

@@ -268,6 +268,14 @@ class Trainer:
             return metrics
 
         if self.spmd_mode == "shard_map":
+            if self.mesh.shape["model"] > 1:
+                raise ValueError(
+                    "spmd_mode='shard_map' is the explicit data-parallel "
+                    "formulation (in_specs replicate params); tensor "
+                    "parallelism (parallel.model_axis > 1) requires "
+                    "spmd_mode='jit' so XLA derives the 'model'-axis "
+                    "collectives from the parallel/tp.py shardings"
+                )
             from multimodal_particles_tpu.parallel.collectives import (
                 make_shard_map_train_step,
             )

@@ -126,6 +126,18 @@ def test_tp_trainer_matches_data_parallel_losses():
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4, atol=1e-5)
 
 
+def test_tp_rejects_shard_map_mode():
+    import pytest
+
+    cfg = _tiny_config(model_axis=2)
+    cfg.parallel.spmd_mode = "shard_map"
+    model = MultiModalBridgeMatching(cfg)
+    trainer = Trainer(model, cfg, experiment_files=None, seed=0)
+    with pytest.raises(ValueError, match="shard_map"):
+        trainer.setup(JetsDataloaderModule.random_databatch(cfg),
+                      steps_per_epoch=1)
+
+
 def test_tp_predict_runs_and_is_finite():
     cfg = _tiny_config(model_axis=2)
     model, batch, mesh, params = _params(cfg)

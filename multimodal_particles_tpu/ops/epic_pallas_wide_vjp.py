@@ -244,6 +244,14 @@ def _bwd_kernel(x_ref, k_ref, mask_ref, temb_ref, gc_ref, gd_ref, *rest,
 _WIDE_TILE_FWD = 8
 _WIDE_TILE_BWD = 8
 
+# The backward's live set (recomputed activations for every block + the
+# weight stacks + the accumulating grad outputs) is ~27 MB at TB=8 /
+# hidden 128 / 6 blocks — over Mosaic's conservative 16 MB default scoped
+# limit but nowhere near the chip's 128 MB VMEM. Raise the limit instead
+# of shrinking TB: smaller tiles cut the MXU rows per matmul and multiply
+# the sequential grid.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _layout_rows(t, x, k, mask, dim_emb_time, TB):
     """(B, N, ·) inputs → row-major kernel operands, padding B to the jet
@@ -310,6 +318,7 @@ def make_epic_train_forward_wide(*, num_blocks, use_skip, add_discrete_head,
                 jax.ShapeDtypeStruct((B * N, vocab), jnp.float32),
             ),
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(xR, kR, maskR, temb, *packed)
         out = jnp.concatenate([out_c, out_d], axis=1)
         return out.reshape(B, N, dim_c + vocab)[:B_in].astype(x.dtype)
@@ -348,6 +357,7 @@ def make_epic_train_forward_wide(*, num_blocks, use_skip, add_discrete_head,
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed
             ),
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(xR, kR, maskR, temb, gc, gd, *packed)
         # inputs get zero cotangents (params-only training)
         return (

@@ -19,9 +19,25 @@ architectures/epic.py):
 
 The first layer's output activations are 'model'-sharded, feed the second
 layer's row-parallel kernel shard-for-shard, and the block's residual add
-happens after the psum — no resharding inside a block. Everything else
-(embeddings, projection stacks, output heads, loss weights) is replicated:
-at the widths where TP pays, the EPiC blocks are >90% of the FLOPs.
+happens after the psum — no resharding inside a block.
+
+The transdimensional trunk is only ~11% EPiC FLOPs — its two gsdm
+transformer stacks are ~88% (ARCHITECTURE.md cost split: EPiC 1.9 ms vs
+2×7.4 ms stacks at B=4096), so the same Megatron pairing is applied to the
+stacks' Dense pairs (architectures/gsdm.py):
+
+  attn q / k / v            column-parallel  kernel: (C, c/M)  bias: (c/M,)
+  attn proj_out             row-parallel     kernel: (c/M, C)  bias: repl.
+  res conv1 / temb_proj     column-parallel  (the paired adds stay sharded)
+  res conv2                 row-parallel
+
+Attention's head reshape (B, N, c) → (B, N, heads, head_dim) keeps whole
+heads per device when heads % M == 0 (the shipped n_heads=2 at M=2); the
+inter-pair GroupNorm (ResnetBlock norm2) reduces within channel groups of
+C/32, which 'model' shards don't straddle for any lane-multiple width, so
+its statistics stay shard-local. Everything else (embeddings, projection
+stacks, output heads, loss weights) is replicated: at the widths where TP
+pays, the paired MLPs above are >90% of each family's FLOPs.
 
 A dim is only sharded when it divides evenly by the model-axis size;
 anything else falls back to replicated — so the same rules are safe for
@@ -41,10 +57,20 @@ import re
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# column-parallel: first layer of each EPiC-block MLP pair
-_COL_RE = re.compile(r"fc_(local|global)1")
-# row-parallel: second layer of the pair
-_ROW_RE = re.compile(r"fc_(local|global)2")
+# column-parallel: first layer of each Megatron pair — EPiC-block MLP
+# first layers, gsdm attention QKV, gsdm resnet conv1/temb_proj
+_COL_RE = re.compile(
+    r"fc_(local|global)1"
+    r"|\['(vec_)?attn_\d+'\]\['[qkv]'\]"
+    r"|\['(vec_)?res_\d+'\]\['(conv1|temb_proj)'\]"
+)
+# row-parallel: second layer of the pair — EPiC MLP second layers, gsdm
+# attention proj_out, gsdm resnet conv2
+_ROW_RE = re.compile(
+    r"fc_(local|global)2"
+    r"|\['(vec_)?attn_\d+'\]\['proj_out'\]"
+    r"|\['(vec_)?res_\d+'\]\['conv2'\]"
+)
 
 
 def _spec_for(path_str: str, leaf, model_size: int):

@@ -7,7 +7,9 @@ all — this is rebuild-only scaling surface, SURVEY.md §2.9)."""
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from multimodal_particles_tpu import test_resources_dir
@@ -35,6 +37,49 @@ def _tiny_config(model_axis=1):
     cfg.bridge.num_timesteps = 5
     cfg.parallel.model_axis = model_axis
     return cfg
+
+
+def _tiny_family(family, model_axis=1):
+    """(model, cfg, batch) for one family at trajectory-test shapes."""
+    B, N = 16, 16
+    if family == "mbm":
+        cfg = _tiny_config(model_axis)
+        return (
+            MultiModalBridgeMatching(cfg),
+            cfg,
+            JetsDataloaderModule.random_databatch(cfg),
+        )
+    if family == "absorbing":
+        from multimodal_particles_tpu.config_classes import AbsorbingConfig
+        from multimodal_particles_tpu.models.generative.absorbing.absorbing_flows import (
+            AbsorbingFlow,
+        )
+
+        cfg = AbsorbingConfig()
+        cfg.data.batch_size, cfg.data.max_num_particles = B, N
+        cfg.bridge.num_timesteps = 5
+        cfg.parallel.model_axis = model_axis
+        return AbsorbingFlow(cfg), cfg, JetsDataloaderModule.random_databatch(cfg)
+    if family == "transdimensional":
+        from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+            TransdimensionalEpicConfig,
+        )
+        from multimodal_particles_tpu.models.generative.transdimensional import (
+            TransdimensionalJumpDiffusion,
+        )
+
+        cfg = TransdimensionalEpicConfig()
+        cfg.data.batch_size, cfg.data.max_num_particles = B, N
+        cfg.sampler_kwargs.dt = 1.0 / 5.0
+        cfg.parallel.model_axis = model_axis
+        rng = np.random.default_rng(0)
+        batch = [
+            jnp.asarray(rng.integers(1, N + 1, B)),
+            jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32),
+            jnp.asarray(np.eye(8, dtype=np.float32)[rng.integers(0, 8, (B, N))]),
+        ]
+        return TransdimensionalJumpDiffusion(cfg), cfg, batch
+    raise ValueError(family)
 
 
 def _params(cfg):
@@ -88,22 +133,41 @@ def test_tp_placement_halves_shard_shapes():
     assert v2.addressable_shards[0].data.shape == (v2.shape[0] // 2, v2.shape[1])
 
 
-def test_tp_trainer_matches_data_parallel_losses():
-    """model_axis=2 must be a pure re-layout: identical seeds/batches give
-    the replicated trajectory up to summation order."""
+def _find_tp_leaf(params):
+    """One leaf the TP rules are expected to shard, with its path."""
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        ps = jax.tree_util.keystr(path)
+        if "fc_local1" in ps and ps.endswith("['v']"):
+            return ps, leaf
+    raise AssertionError("no fc_local1 v leaf found")
+
+
+@pytest.mark.parametrize("family", ["mbm", "absorbing", "transdimensional"])
+def test_tp_trainer_matches_data_parallel_losses(family):
+    """model_axis=2 must be a pure re-layout for EVERY family: identical
+    seeds/batches give the replicated trajectory up to summation order."""
     losses = {}
     for axis in (1, 2):
-        cfg = _tiny_config(model_axis=axis)
-        model = MultiModalBridgeMatching(cfg)
+        model, cfg, batch = _tiny_family(family, model_axis=axis)
         trainer = Trainer(model, cfg, experiment_files=None, seed=0)
-        batch = JetsDataloaderModule.random_databatch(cfg)
         trainer.setup(batch, steps_per_epoch=1)
         assert trainer.mesh.shape["model"] == axis
         if axis == 2:
             # params actually went out tensor-parallel, moments followed
-            v = trainer.state.params["encoder"]["epic"]["epic"][
-                "epic_layer_0"]["fc_local1"]["v"]
-            assert not v.sharding.is_fully_replicated
+            vpath, v = _find_tp_leaf(trainer.state.params)
+            assert not v.sharding.is_fully_replicated, vpath
+            if family == "transdimensional":
+                # the gsdm-stack pairing sharded the attention QKV too
+                attn_sharded = [
+                    leaf
+                    for path, leaf in jax.tree_util.tree_flatten_with_path(
+                        trainer.state.params
+                    )[0]
+                    if "attn_0']['q']['kernel" in jax.tree_util.keystr(path)
+                ]
+                assert attn_sharded and all(
+                    not l.sharding.is_fully_replicated for l in attn_sharded
+                )
             moment_leaves = [
                 leaf
                 for path, leaf in jax.tree_util.tree_flatten_with_path(
@@ -124,6 +188,30 @@ def test_tp_trainer_matches_data_parallel_losses():
             run.append(float(metrics["loss"]))
         losses[axis] = run
     np.testing.assert_allclose(losses[1], losses[2], rtol=2e-4, atol=1e-5)
+
+
+def test_tp_specs_shard_gsdm_stack_pairs():
+    """The transdim trunk is ~88% gsdm-stack FLOPs; the Megatron pairing
+    must cover its attention QKV/proj and resnet conv1/conv2 pairs."""
+    model, cfg, batch = _tiny_family("transdimensional", model_axis=2)
+    mesh = make_device_mesh(model_axis=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    specs = tp_param_specs(params, mesh)
+    flat = {
+        jax.tree_util.keystr(p): s
+        for p, s in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    col = [k for k in flat if "attn_0']['q']['kernel" in k]
+    row = [k for k in flat if "attn_0']['proj_out']['kernel" in k]
+    c1 = [k for k in flat if "res_0']['conv1']['kernel" in k]
+    c2 = [k for k in flat if "res_0']['conv2']['kernel" in k]
+    assert col and row and c1 and c2
+    assert all(flat[k] == P(None, "model") for k in col + c1)
+    assert all(flat[k] == P("model", None) for k in row + c2)
+    # proj_out / conv2 biases span the replicated out-dim
+    for k in flat:
+        if "proj_out']['bias" in k or "conv2']['bias" in k:
+            assert flat[k] == P()
 
 
 def test_tp_rejects_shard_map_mode():

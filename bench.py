@@ -126,7 +126,7 @@ def orchestrate(args):
     )
     deadline = time.monotonic() + args.deadline
 
-    def child(family, bsz, steps, particles, train=False):
+    def child(family, bsz, steps, particles, train=False, scaled=None):
         cmd = [
             sys.executable, os.path.abspath(__file__), "--model", family,
             "--batch-size", str(bsz), "--steps", str(steps),
@@ -135,7 +135,7 @@ def orchestrate(args):
         ]
         if train:
             cmd.append("--train")
-        if args.scaled:
+        if args.scaled if scaled is None else scaled:
             cmd.append("--scaled")
         if args.pallas != "auto":
             cmd += ["--pallas", args.pallas]
@@ -144,42 +144,48 @@ def orchestrate(args):
     if args.train:
         # ledger train shapes per family, MBM flagship
         if args.smoke:
-            jobs = [("mbm", 64, 10, 64, True), ("absorbing", 64, 10, 64, True),
-                    ("transdimensional", 64, 10, 64, True)]
+            jobs = [("mbm", 64, 10, 64, True, None),
+                    ("absorbing", 64, 10, 64, True, None),
+                    ("transdimensional", 64, 10, 64, True, None)]
         else:
             jobs = [
-                ("mbm", min(args.batch_size, 8192), args.steps, args.particles, True),
-                ("absorbing", 4096, args.steps, 109, True),
-                ("transdimensional", 1024, args.steps, 128, True),
+                ("mbm", min(args.batch_size, 8192), args.steps,
+                 args.particles, True, None),
+                ("absorbing", 4096, args.steps, 109, True, None),
+                ("transdimensional", 1024, args.steps, 128, True, None),
             ]
     elif args.smoke:
         jobs = [
-            ("mbm", 64, 10, 64, False),
-            ("absorbing", 64, 10, 64, False),
-            ("transdimensional", 64, 10, 64, False),
-            ("mbm", 64, 10, 64, True),
+            ("mbm", 64, 10, 64, False, None),
+            ("absorbing", 64, 10, 64, False, None),
+            ("transdimensional", 64, 10, 64, False, None),
+            ("mbm", 64, 10, 64, True, None),
         ]
     else:
         jobs = [
-            ("mbm", args.batch_size, args.steps, args.particles, False),
-            ("absorbing", 4096, args.steps, 109, False),
+            ("mbm", args.batch_size, args.steps, args.particles, False, None),
+            ("absorbing", 4096, args.steps, 109, False, None),
             # 96 steps = the quality-valid operating point (multi-birth
             # tau-leap + all-dims analytic posterior, KL_mult 0.0428 vs
             # 0.602 at 1000 single-birth steps —
             # benchmarks/quality_transdim.json)
-            ("transdimensional", 4096, 96, 128, False),
+            ("transdimensional", 4096, 96, 128, False, None),
             # driver-visible train-throughput line (VERDICT r3 #8)
-            ("mbm", 8192, args.steps, args.particles, True),
+            ("mbm", 8192, args.steps, args.particles, True, None),
+            # driver-visible SCALED line (hidden 128 x 6 blocks): the wide
+            # row-major kernel regime (ops/epic_pallas_wide.py), 2.26x the
+            # XLA path at this shape (VERDICT r4 #1)
+            ("mbm", 8192, args.steps, args.particles, False, True),
         ]
 
     flagship = None
     samples = []
     any_line = False
-    for family, bsz, steps, particles, train in jobs:
+    for family, bsz, steps, particles, train, scaled in jobs:
         kind = "train" if train else "sample"
         t0 = time.monotonic()
         lines, err = run_family_with_retry(
-            child(family, bsz, steps, particles, train),
+            child(family, bsz, steps, particles, train, scaled),
             attempts=args.attempts, retry_sleep=args.retry_sleep,
             timeout=args.family_timeout, deadline=deadline,
         )
@@ -457,7 +463,7 @@ def bench_sample(args, family, batch_size, steps, particles):
     print(json.dumps(_with_mfu(result, flops, args.iters, dt)))
 
 
-def main():
+def build_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=100)
@@ -484,15 +490,24 @@ def main():
         help="model family to benchmark ('all' = one subprocess per family, "
              "flagship MBM line re-emitted last)",
     )
-    ap.add_argument("--family-timeout", type=float, default=900.0,
-                    help="per-subprocess wall-clock bound (all mode)")
+    ap.add_argument("--family-timeout", type=float, default=1500.0,
+                    help="per-subprocess wall-clock bound (all mode); sized "
+                         "to >=2x the slowest observed family (MBM 639 s in "
+                         "BENCH_r04) so documented axon compile variance "
+                         "cannot turn the healthiest family into a "
+                         "timeout-retry that burns 2x its budget")
     ap.add_argument("--retry-sleep", type=float, default=30.0,
                     help="sleep between backend-flake retries (all mode)")
     ap.add_argument("--attempts", type=int, default=3,
                     help="attempts per family on backend flakes (all mode)")
-    ap.add_argument("--deadline", type=float, default=3000.0,
-                    help="global wall-clock bound for all mode")
-    args = ap.parse_args()
+    ap.add_argument("--deadline", type=float, default=3600.0,
+                    help="global wall-clock bound for all mode (observed "
+                         "full run: 1546 s in BENCH_r04 with a cold cache)")
+    return ap
+
+
+def main():
+    args = build_parser().parse_args()
 
     # honor an explicit CPU request even when the axon sitecustomize
     # force-selected the TPU (it overrides the JAX_PLATFORMS env var with

@@ -78,7 +78,7 @@ class BridgeConfig:
     # mirroring the extras' death schedule), teaching the head to revive
     # slots the jet still needs.
     # 3-seed evidence (benchmarks/quality_absorbing_source_consistent.json,
-    # variant_d01): at d=0.1 the under-multiplicity stress corrects in 3/3
+    # top level): at d=0.1 the under-multiplicity stress corrects in 3/3
     # seeds, the over-multiplicity stress in 2/3 (birth-only solver), at a
     # ~3% nominal multiplicity cost (W1_mult median 2.02 vs 0.46-0.84 at
     # d=0). Recommended: keep 0.0 (exact reference semantics) for

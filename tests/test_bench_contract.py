@@ -182,9 +182,10 @@ def test_orchestrate_reemits_flagship_last(monkeypatch, capsys):
     def fake_run(cmd, **kw):
         family = cmd[cmd.index("--model") + 1]
         train = "--train" in cmd
-        return [{"metric": f"{family}{' train' if train else ''}",
-                 "value": 1.0, "unit": "u",
-                 "vs_baseline": 39.0 if family == "mbm" else 2.0}], None
+        scaled = "--scaled" in cmd
+        name = f"{family}{' train' if train else ''}{' scaled' if scaled else ''}"
+        return [{"metric": name, "value": 1.0, "unit": "u",
+                 "vs_baseline": 39.0 if name == "mbm" else 2.0}], None
 
     monkeypatch.setattr(bench, "run_family_with_retry", fake_run)
     args = argparse.Namespace(
@@ -195,10 +196,22 @@ def test_orchestrate_reemits_flagship_last(monkeypatch, capsys):
     )
     assert bench.orchestrate(args) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
-    # run order mbm, absorbing, transdim, mbm-train; flagship re-emitted last
+    # run order mbm, absorbing, transdim, mbm-train, mbm-scaled; the
+    # (unscaled) flagship re-emitted last
     assert [l["metric"] for l in lines] == [
-        "mbm", "absorbing", "transdimensional", "mbm train", "mbm",
+        "mbm", "absorbing", "transdimensional", "mbm train", "mbm scaled",
+        "mbm",
     ]
+
+
+def test_family_timeout_headroom():
+    """VERDICT r4 #7: the per-family timeout must hold >=2x the slowest
+    observed family wall (MBM 639 s in BENCH_r04), and the global deadline
+    must clear the observed full-run wall (1546 s) with comparable slack."""
+    bench = _load_bench()
+    args = bench.build_parser().parse_args([])
+    assert args.family_timeout >= 2 * 639
+    assert args.deadline >= 2 * 1546
 
 
 def test_orchestrate_cpu_fallback_when_everything_fails(monkeypatch, capsys):

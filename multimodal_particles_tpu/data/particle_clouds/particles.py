@@ -64,6 +64,8 @@ class ParticleClouds:
             self.continuous, self.discrete, self.mask = extract_jetclass_features(
                 data_paths, **data_params
             )
+            if data_params.get("fill_target_with_noise", False):
+                self._fill_padding_with_noise(rng)
 
         elif "AspenOpenJets" in str(dataset):
             if data_paths is None:
@@ -74,15 +76,7 @@ class ParticleClouds:
                 data_paths, **data_params
             )
             if data_params.get("fill_target_with_noise", False):
-                pad = ~(self.mask > 0)
-                noise_continuous = rng.standard_normal(self.continuous.shape).astype(
-                    np.float32
-                )
-                noise_tokens = rng.integers(0, 8, size=self.mask.shape)
-                flavor, charge = tokens_to_physics(noise_tokens)
-                noise_discrete = np.concatenate([flavor, charge], axis=-1)
-                self.continuous = self.continuous + noise_continuous * pad
-                self.discrete = self.discrete + noise_discrete * pad
+                self._fill_padding_with_noise(rng)
 
         elif "Noise" in str(dataset):
             self.continuous, self.discrete = sample_noise(rng, dataset, **data_params)
@@ -95,6 +89,21 @@ class ParticleClouds:
 
         # ...derived attributes
         self._refresh_views()
+
+    def _fill_padding_with_noise(self, rng):
+        """`fill_target_with_noise` semantics (reference:
+        data/particle_clouds/particles.py target ctor): padded slots carry
+        Gaussian continuous features and uniform-token discrete features so
+        the hybrid bridge has a defined state on every slot."""
+        pad = ~(self.mask > 0)
+        noise_continuous = rng.standard_normal(self.continuous.shape).astype(
+            np.float32
+        )
+        noise_tokens = rng.integers(0, 8, size=self.mask.shape)
+        flavor, charge = tokens_to_physics(noise_tokens)
+        noise_discrete = np.concatenate([flavor, charge], axis=-1)
+        self.continuous = self.continuous + noise_continuous * pad
+        self.discrete = self.discrete + noise_discrete * pad
 
     def _refresh_views(self):
         self.pt = self.continuous[..., 0]

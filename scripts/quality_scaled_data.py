@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--data-seed", type=int, default=20260819)
     ap.add_argument("--train-steps", type=int, default=6000)
     ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=64,
+                    help="encoder width (<=64 keeps the narrow fused "
+                         "kernels; the 20k-jet mixture underfits at the "
+                         "config-mbm-test width 16)")
+    ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--gen-jets", type=int, default=10000)
     ap.add_argument("--gen-chunk", type=int, default=2048)
     ap.add_argument("--sampler-steps", type=int, default=0,
@@ -118,6 +123,12 @@ def main():
     config.data.seed = args.seed
     if args.sampler_steps:
         config.bridge.num_timesteps = args.sampler_steps
+    enc = config.encoder
+    enc.num_blocks = args.blocks
+    enc.dim_hidden_local = enc.dim_hidden_glob = args.hidden
+    enc.dim_emb_time = args.hidden
+    enc.dim_emb_features_continuous = args.hidden
+    enc.dim_emb_features_discrete = args.hidden
 
     jets = JetDataclass(config)
     jets.preprocess()

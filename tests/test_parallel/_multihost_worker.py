@@ -5,7 +5,11 @@ runs ONE data-parallel train step PER MODEL FAMILY (mbm, absorbing,
 transdimensional — VERDICT r3 #6) where shard_batch takes the
 `jax.make_array_from_process_local_data` multi-host branch
 (parallel/mesh.py:69-71) — each process feeds only its local rows of the
-global batch."""
+global batch — followed by ONE `model.predict` sampler call on the same
+sharded batch (VERDICT r4 #9: generation is the advertised multi-chip
+workload, BASELINE.md bulk sweep), recording a replicated finite-count +
+checksum so the parent can assert both processes sampled the identical
+global trajectory."""
 
 import json
 import os
@@ -46,7 +50,10 @@ def main():
     assert jax.process_count() == nproc, jax.process_count()
     assert len(jax.local_devices()) == n_global // nproc
 
+    import jax.numpy as jnp
+
     losses = {}
+    samplers = {}
     for family in FAMILIES:
         # identical deterministic global batch in every process (seed 0);
         # this process contributes ONLY its contiguous local row block
@@ -64,10 +71,32 @@ def main():
         )
         losses[family] = float(metrics["loss"])
 
+        # sampler across the multi-host sharding branch: the output is a
+        # GLOBAL array (this process holds only its rows), so reduce to
+        # replicated scalars before fetching
+        final = jax.jit(model.predict)(
+            state.params, sharded, jax.random.PRNGKey(1)
+        )
+
+        def _summary(c):
+            finite = jnp.isfinite(c)
+            return (
+                jnp.sum(finite.astype(jnp.float32)),
+                jnp.sum(jnp.where(finite, c, 0.0)),
+            )
+
+        n_finite, checksum = jax.jit(_summary)(final.continuous)
+        samplers[family] = {
+            "shape": list(final.continuous.shape),
+            "n_finite": float(n_finite),
+            "checksum": float(checksum),
+        }
+
     with open(os.path.join(outdir, f"loss_{pid}.json"), "w") as f:
         json.dump(
             {
                 "losses": losses,
+                "samplers": samplers,
                 "process_count": int(jax.process_count()),
                 "global_devices": int(n_global),
                 "local_devices": len(jax.local_devices()),

@@ -101,6 +101,20 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
             records[1]["losses"][family], rel=1e-6
         ), family
 
+    # the sampler crossed the same multi-host branch: full global output
+    # shape, every entry finite, and both processes saw the identical
+    # global trajectory (replicated checksum)
+    for r in records:
+        assert set(r["samplers"]) == set(FAMILIES)
+    for family in FAMILIES:
+        s0, s1 = records[0]["samplers"][family], records[1]["samplers"][family]
+        B, N = 16, 16  # _tiny_family shapes at n_devices=8
+        assert s0["shape"] == [B, N, 3], (family, s0["shape"])
+        assert s0["n_finite"] == B * N * 3, (family, s0)
+        assert s0["shape"] == s1["shape"]
+        assert s0["n_finite"] == s1["n_finite"]
+        assert s0["checksum"] == pytest.approx(s1["checksum"], rel=1e-6), family
+
     # and each equals the single-process 8-device step on the same global
     # batch: same GSPMD partitioning, same params init, same key
     single = _single_process_losses()

@@ -126,13 +126,16 @@ def orchestrate(args):
     )
     deadline = time.monotonic() + args.deadline
 
-    def child(family, bsz, steps, particles, train=False, scaled=None):
+    def child(family, bsz, steps, particles, train=False, scaled=None,
+              multi_birth=None):
         cmd = [
             sys.executable, os.path.abspath(__file__), "--model", family,
             "--batch-size", str(bsz), "--steps", str(steps),
             "--particles", str(particles), "--iters", str(args.iters),
             "--dtype", args.dtype,
         ]
+        if multi_birth is not None:
+            cmd += ["--multi-birth", str(multi_birth)]
         if train:
             cmd.append("--train")
         if args.scaled if scaled is None else scaled:
@@ -165,11 +168,12 @@ def orchestrate(args):
         jobs = [
             ("mbm", args.batch_size, args.steps, args.particles, False, None),
             ("absorbing", 4096, args.steps, 109, False, None),
-            # 96 steps = the quality-valid operating point (multi-birth
-            # tau-leap + all-dims analytic posterior, KL_mult 0.0428 vs
-            # 0.602 at 1000 single-birth steps —
-            # benchmarks/quality_transdim.json)
-            ("transdimensional", 4096, 96, 128, False, None),
+            # 48 steps x multi_birth=24 = the promoted quality-valid
+            # operating point (3-seed KL_mult 0.055-0.062 vs the 96x16
+            # anchor's 0.041-0.045, W1_mult statistically equal, continuous
+            # W1s within 3.5% — benchmarks/transdim_operating_points.json;
+            # 96x16 remains the quality headline in quality_transdim.json)
+            ("transdimensional", 4096, 48, 128, False, None, 24),
             # driver-visible train-throughput line (VERDICT r3 #8)
             ("mbm", 8192, args.steps, args.particles, True, None),
             # driver-visible SCALED line (hidden 128 x 6 blocks): the wide
@@ -181,11 +185,12 @@ def orchestrate(args):
     flagship = None
     samples = []
     any_line = False
-    for family, bsz, steps, particles, train, scaled in jobs:
+    for family, bsz, steps, particles, train, scaled, *rest in jobs:
+        mb = rest[0] if rest else None
         kind = "train" if train else "sample"
         t0 = time.monotonic()
         lines, err = run_family_with_retry(
-            child(family, bsz, steps, particles, train, scaled),
+            child(family, bsz, steps, particles, train, scaled, mb),
             attempts=args.attempts, retry_sleep=args.retry_sleep,
             timeout=args.family_timeout, deadline=deadline,
         )
@@ -234,7 +239,8 @@ def orchestrate(args):
 
 
 def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
-          num_particles: int = 128, scaled: bool = False, pallas: str = "auto"):
+          num_particles: int = 128, scaled: bool = False, pallas: str = "auto",
+          multi_birth=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -299,6 +305,8 @@ def build(batch_size: int, num_timesteps: int, compute_dtype: str, family="mbm",
         config.data.batch_size = batch_size
         config.data.max_num_particles = num_particles
         config.sampler_kwargs.dt = 1.0 / num_timesteps
+        if multi_birth is not None:
+            config.sampler_kwargs.multi_birth = multi_birth
         if scaled:
             _scale_encoder(config)
         model = TransdimensionalJumpDiffusion(config)
@@ -418,7 +426,7 @@ def bench_sample(args, family, batch_size, steps, particles):
     n_chips = jax.device_count()
     model, config, params, batch = build(
         batch_size, steps, args.dtype, family, particles, args.scaled,
-        args.pallas
+        args.pallas, multi_birth=args.multi_birth,
     )
 
     # the sampler returns a checksum scalar alongside the state so each timed
@@ -470,6 +478,11 @@ def build_parser():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--smoke", action="store_true", help="tiny shapes for CI")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--multi-birth", type=int, default=None,
+                    help="override sampler_kwargs.multi_birth "
+                         "(transdimensional only; the canonical operating "
+                         "point is 48 steps x 24 — "
+                         "benchmarks/transdim_operating_points.json)")
     ap.add_argument("--particles", type=int, default=128,
                     help="max_num_particles (109 = reference absorbing scale)")
     ap.add_argument(

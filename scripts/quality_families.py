@@ -404,7 +404,7 @@ def run_transdimensional(args):
             "physics_metrics": physics,
         }
 
-    headline_mb = config.sampler_kwargs.multi_birth
+    headline_mb = args.multi_birth or config.sampler_kwargs.multi_birth
     headline = score_setting(
         *generate(headline_steps, headline_mb), headline_steps, headline_mb
     )
@@ -486,6 +486,9 @@ def main():
     ap.add_argument("--gen-chunk", type=int, default=1024)
     ap.add_argument("--sampler-steps", type=int, default=None,
                     help="override the config's sampler step count")
+    ap.add_argument("--multi-birth", type=int, default=None,
+                    help="override the config's max births/step "
+                         "(transdimensional only; operating-point sweeps)")
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reuse-params", default=None,

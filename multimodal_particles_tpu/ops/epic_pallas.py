@@ -307,6 +307,13 @@ def _pick_tile(B):
 # divisor-based tile so tiny parity tests don't pay 64x padding.
 _COMPILED_TILE = 128
 
+# At hidden 64 / 4 blocks the tile's live set is ~16.04 MB — 36 KB over
+# Mosaic's conservative 16 MB default scoped-VMEM limit (measured on-chip:
+# the 20k-jet scaled-quality config OOMs at compile time; config-berlin at
+# hidden<=50 fits). The chip has 128 MB VMEM; raise the limit rather than
+# shrinking the tile (sub-128 tiles hit the pathological compile above).
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 @functools.partial(
     jax.jit,
@@ -429,6 +436,7 @@ def epic_forward_pallas(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
+        compiler_params=None if interpret else _VMEM_LIMIT,
     )(xT, kT, maskT, tembT, *packed)
 
     out = jnp.concatenate([outs[0], outs[1]], axis=0)  # (dim_c+vocab, B·N)

@@ -35,6 +35,7 @@ from multimodal_particles_tpu.models.architectures.utils import (
 )
 from multimodal_particles_tpu.ops.epic_pallas import (
     WEIGHT_NAMES,
+    _VMEM_LIMIT,
     _bcast_jets,
     _forward_acts,
     _leaky,
@@ -319,6 +320,7 @@ def make_epic_train_forward(*, num_blocks, use_skip, add_discrete_head, dim_c,
                 jax.ShapeDtypeStruct((vocab, B * N), jnp.float32),
             ),
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(xT, kT, maskT, tembT, *packed)
         out = jnp.concatenate([out_c, out_d], axis=0)
         return out.T.reshape(B, N, dim_c + vocab).astype(x.dtype)
@@ -355,6 +357,7 @@ def make_epic_train_forward(*, num_blocks, use_skip, add_discrete_head, dim_c,
                 jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed
             ),
             interpret=interpret,
+            compiler_params=None if interpret else _VMEM_LIMIT,
         )(xT, kT, maskT, tembT, gc, gd, *packed)
         # inputs get zero cotangents (params-only training)
         return (

@@ -1,9 +1,9 @@
-"""MBM quality at a data scale where the metrics discriminate (VERDICT r4 #2).
+"""Family quality at a data scale where the metrics discriminate.
 
-Every prior quality artifact scores against the bundled 100-jet AOJ-mini
-shard, where a PERFECT model floors at KL_pt ~ 1.6 / KL_multiplicity ~ 10
+Every 100-jet AOJ-mini artifact scores against a shard where a PERFECT
+model floors at KL_pt ~ 1.6 / KL_multiplicity ~ 10
 (benchmarks/metric_floors.json) — the metric cannot fail a model there.
-This harness trains the flagship MBM family on a synthetic 20k-jet
+This harness trains any of the three families on a synthetic 20k-jet
 JetClass-schema shard (scripts/make_jetclass_synth.py — honest label: the
 physics is SYNTHETIC, a 3-class prong mixture; the schema, featurization,
 preprocessing, training, sampling and scoring paths are the production
@@ -17,8 +17,14 @@ a small multiple of them. Reference scoring contract:
 /root/reference/multimodal_particles/data/particle_clouds/jets.py:314-332.
 
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/quality_scaled_data.py \
-      --train-steps 6000 --gen-jets 10000 --platform tpu \
+      --family mbm --train-steps 10000 --batch-size 2048 --gen-jets 10000 \
       --out benchmarks/quality_mbm_scaled_data.json
+
+  ... --family absorbing --train-steps 6000 --batch-size 1024 \
+      --out benchmarks/quality_absorbing_scaled_data.json
+
+  ... --family transdim --train-steps 6000 --batch-size 512 \
+      --out benchmarks/quality_transdim_scaled_data.json
 """
 
 import argparse
@@ -49,46 +55,122 @@ FEATURES = ["pt", "m", "eta", "phi", "multiplicity", "Q_total", "Q_jet",
             "tau21", "tau32", "d2"]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n-data", type=int, default=20000)
-    ap.add_argument("--max-particles", type=int, default=64)
-    ap.add_argument("--data-seed", type=int, default=20260819)
-    ap.add_argument("--train-steps", type=int, default=6000)
-    ap.add_argument("--batch-size", type=int, default=1024)
-    ap.add_argument("--hidden", type=int, default=64,
-                    help="encoder width (<=64 keeps the narrow fused "
-                         "kernels; the 20k-jet mixture underfits at the "
-                         "config-mbm-test width 16)")
-    ap.add_argument("--blocks", type=int, default=4)
-    ap.add_argument("--gen-jets", type=int, default=10000)
-    ap.add_argument("--gen-chunk", type=int, default=2048)
-    ap.add_argument("--sampler-steps", type=int, default=0,
-                    help="0 = keep the config value")
-    ap.add_argument("--boots", type=int, default=3)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--platform", default="tpu", choices=["cpu", "tpu"])
-    ap.add_argument("--shard", default=None,
-                    help="existing shard path (default: generate into .cache)")
-    ap.add_argument("--out",
-                    default=os.path.join(REPO_ROOT, "benchmarks",
-                                         "quality_mbm_scaled_data.json"))
-    args = ap.parse_args()
+def _ensure_shard(args):
+    shard = args.shard or os.path.join(
+        REPO_ROOT, ".cache", f"jetclass_synth_{args.n_data}.h5"
+    )
+    if not os.path.exists(shard):
+        t0 = time.time()
+        write_synthetic_jetclass_shard(
+            shard, args.n_data, args.max_particles, args.data_seed
+        )
+        print(f"[data] generated {shard} in {time.time() - t0:.1f}s")
+    return shard
+
+
+def _point_data_at_shard(config, args, shard):
+    config.data.target_name = "JetClass"
+    config.data.target_path = [shard]
+    config.data.num_jets = args.n_data
+    config.data.max_num_particles = args.max_particles
+    config.data.batch_size = args.batch_size
+    config.data.seed = args.seed
+
+
+def _widen_encoder(enc, hidden, blocks):
+    """The test-config width (16) underfits the 20k-jet mixture; widen to
+    a production-representative encoder (still inside the narrow fused
+    kernels at hidden <= 64)."""
+    enc.num_blocks = blocks
+    enc.dim_hidden_local = enc.dim_hidden_glob = hidden
+    enc.dim_emb_time = hidden
+    enc.dim_emb_features_continuous = hidden
+    enc.dim_emb_features_discrete = hidden
+
+
+def _epochs_for(args, steps_per_epoch):
+    return max(1, math.ceil(args.train_steps / max(steps_per_epoch, 1)))
+
+
+# Training is ~30 min on the chip while generation can crash on a fresh
+# compile (the r5 VMEM-OOM lesson) — checkpoint (params, train_info) after
+# fit so --reuse-params resumes straight into generation.
+def _train_ckpt_path(args):
+    return os.path.join(args.workdir, f"train_ckpt_s{args.seed}.pkl")
+
+
+def _load_train_ckpt(args):
+    import pickle
+
+    p = _train_ckpt_path(args)
+    if args.reuse_params and os.path.exists(p):
+        with open(p, "rb") as f:
+            ckpt = pickle.load(f)
+        print(f"[train] reusing checkpoint {p} "
+              f"(train_info={ckpt['train_info']})")
+        return ckpt
+    return None
+
+
+def _save_train_ckpt(args, params, train_info):
+    import pickle
 
     import jax
 
-    if args.platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(args.workdir, exist_ok=True)
+    with open(_train_ckpt_path(args), "wb") as f:
+        pickle.dump(
+            {
+                "params": jax.tree_util.tree_map(np.asarray, params),
+                "train_info": train_info,
+            },
+            f,
+        )
+
+
+def _ema_or_params(trainer):
+    return (
+        trainer.state.ema_params
+        if trainer.state.ema_params is not None
+        else trainer.state.params
+    )
+
+
+def _gen_source(config, ParticleClouds, target_multiplicity, args):
+    """Fresh noise clouds with source masks drawn from the data
+    multiplicity histogram (the reference generation protocol)."""
+    src_kwargs = dict(config.data.__dict__)
+    src_kwargs.update(
+        num_jets=args.gen_jets,
+        target_multiplicity=target_multiplicity,
+        seed=args.seed + 1,
+    )
+    gen_src = ParticleClouds(dataset=config.data.source_name, **src_kwargs)
+    gen_src.preprocess(
+        output_continuous=config.data.source_preprocess_continuous,
+        output_discrete=config.data.source_preprocess_discrete,
+        stats=config.data.source_preprocess_stats,
+    )
+    return gen_src
+
+
+def _chunks(args):
+    return [
+        np.arange(i, min(i + args.gen_chunk, args.gen_jets))
+        for i in range(0, args.gen_jets, args.gen_chunk)
+    ]
+
+
+# --------------------------------------------------------------------- MBM
+def run_mbm(args, shard):
+    import jax
     import jax.numpy as jnp
 
     from multimodal_particles_tpu import test_resources_dir
     from multimodal_particles_tpu.config_classes import (
         MultimodalBridgeMatchingConfig,
     )
-    from multimodal_particles_tpu.data.particle_clouds.jets import (
-        JetClassHighLevelFeatures,
-        JetDataclass,
-    )
+    from multimodal_particles_tpu.data.particle_clouds.jets import JetDataclass
     from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
         JetsDataloaderModule,
         MultimodalDatabatch,
@@ -101,84 +183,53 @@ def main():
     )
     from multimodal_particles_tpu.training.trainer import Trainer
 
-    # ------------------------------------------------------------------ data
-    shard = args.shard or os.path.join(
-        REPO_ROOT, ".cache", f"jetclass_synth_{args.n_data}.h5"
-    )
-    if not os.path.exists(shard):
-        t0 = time.time()
-        write_synthetic_jetclass_shard(
-            shard, args.n_data, args.max_particles, args.data_seed
-        )
-        print(f"[data] generated {shard} in {time.time() - t0:.1f}s")
-
     config = MultimodalBridgeMatchingConfig.from_yaml(
         os.path.join(test_resources_dir, "configs_files", "config-mbm-test.yaml")
     )
-    config.data.target_name = "JetClass"
-    config.data.target_path = [shard]
-    config.data.num_jets = args.n_data
-    config.data.max_num_particles = args.max_particles
-    config.data.batch_size = args.batch_size
-    config.data.seed = args.seed
+    _point_data_at_shard(config, args, shard)
     if args.sampler_steps:
         config.bridge.num_timesteps = args.sampler_steps
-    enc = config.encoder
-    enc.num_blocks = args.blocks
-    enc.dim_hidden_local = enc.dim_hidden_glob = args.hidden
-    enc.dim_emb_time = args.hidden
-    enc.dim_emb_features_continuous = args.hidden
-    enc.dim_emb_features_discrete = args.hidden
+    _widen_encoder(config.encoder, args.hidden, args.blocks)
 
     jets = JetDataclass(config)
     jets.preprocess()
     dm = JetsDataloaderModule(config, jets)
     config = dm.update_config(config)
     steps_per_epoch = max(len(dm.train), 1)
-    epochs = max(1, math.ceil(args.train_steps / steps_per_epoch))
+    epochs = _epochs_for(args, steps_per_epoch)
     config.train.epochs = epochs
     config.train.scheduler_params["T_max"] = epochs
     print(f"[data] {len(dm.dataset)} jets, {steps_per_epoch} steps/epoch, "
           f"{epochs} epochs (~{epochs * steps_per_epoch} steps)")
 
-    # ----------------------------------------------------------------- train
     model = MultiModalBridgeMatching(config)
-    trainer = Trainer(model, config, experiment_files=None, seed=args.seed)
-    dm.set_dataloader()
-    t0 = time.time()
-    history = trainer.fit(dm, epochs=epochs)
-    train_s = time.time() - t0
-    final = history[-1]
-    print(f"[train] {epochs} epochs in {train_s:.1f}s: "
-          f"train={final['train_loss']:.4f} val={final['val_loss']:.4f}")
-    params = (
-        trainer.state.ema_params
-        if trainer.state.ema_params is not None
-        else trainer.state.params
-    )
+    ckpt = _load_train_ckpt(args)
+    if ckpt is None:
+        trainer = Trainer(model, config, experiment_files=None, seed=args.seed)
+        dm.set_dataloader()
+        t0 = time.time()
+        history = trainer.fit(dm, epochs=epochs)
+        train_s = time.time() - t0
+        final = history[-1]
+        print(f"[train] {epochs} epochs in {train_s:.1f}s: "
+              f"train={final['train_loss']:.4f} val={final['val_loss']:.4f}")
+        params = _ema_or_params(trainer)
+        train_info = {
+            "train_steps": epochs * steps_per_epoch,
+            "final_train_loss": round(final["train_loss"], 4),
+            "final_val_loss": round(final["val_loss"], 4),
+            "train_wall_s": round(train_s, 1),
+        }
+        _save_train_ckpt(args, params, train_info)
+    else:
+        params, train_info = ckpt["params"], ckpt["train_info"]
 
-    # ------------------------------------------------------------ generation
-    src_kwargs = dict(config.data.__dict__)
-    src_kwargs.update(
-        num_jets=args.gen_jets,
-        target_multiplicity=jets.target.multiplicity,
-        seed=args.seed + 1,
-    )
-    gen_src = ParticleClouds(dataset=config.data.source_name, **src_kwargs)
-    gen_src.preprocess(
-        output_continuous=config.data.source_preprocess_continuous,
-        output_discrete=config.data.source_preprocess_discrete,
-        stats=config.data.source_preprocess_stats,
-    )
-    chunks = [
-        np.arange(i, min(i + args.gen_chunk, args.gen_jets))
-        for i in range(0, args.gen_jets, args.gen_chunk)
-    ]
+    gen_src = _gen_source(config, ParticleClouds, jets.target.multiplicity, args)
     predict = jax.jit(model.predict)
     key = jax.random.PRNGKey(args.seed + 2)
     outs = []
     t0 = time.time()
-    for i, chunk in enumerate(chunks):
+    for i, chunk in enumerate(_chunks(args)):
         db = make_gen_databatch(MultimodalDatabatch, gen_src, chunk)
         db = jax.tree_util.tree_map(jnp.asarray, db)
         out = predict(params, db, jax.random.fold_in(key, i))
@@ -193,8 +244,313 @@ def main():
     )
     print(f"[gen] {args.gen_jets} jets in {gen_s:.1f}s")
 
+    info = {
+        "protocol": (
+            "MBM trained on the full shard; generation from fresh noise "
+            "with data-histogram source masks; gen-vs-data KL/W1 with the "
+            "reference's metric machinery"
+        ),
+        **train_info,
+        "sampler_steps": config.bridge.num_timesteps,
+        "gen_wall_s": round(gen_s, 1),
+    }
+    return config, jets.target, gen_cloud, info, {}
+
+
+# --------------------------------------------------------------- absorbing
+def run_absorbing(args, shard):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu import test_resources_dir
+    from multimodal_particles_tpu.config_classes import AbsorbingConfig
+    from multimodal_particles_tpu.data.particle_clouds.jets_dataloader import (
+        MultimodalDatabatch,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.particles import (
+        ParticleClouds,
+    )
+    from multimodal_particles_tpu.training.absorbing_experiment import (
+        AbsorbingExperiment,
+    )
+
+    config = AbsorbingConfig.from_yaml(
+        os.path.join(test_resources_dir, "configs_files",
+                     "config-absorbing-test.yaml")
+    )
+    _point_data_at_shard(config, args, shard)
+    if args.sampler_steps:
+        config.bridge.num_timesteps = args.sampler_steps
+    _widen_encoder(config.encoder, args.hidden, args.blocks)
+    # epochs from the expected steps/epoch (0.8 train split), corrected below
+    est_steps = max(1, int(args.n_data * 0.8) // args.batch_size)
+    epochs = _epochs_for(args, est_steps)
+    config.train.epochs = epochs
+    config.train.scheduler_params["T_max"] = epochs
+
+    experiment = AbsorbingExperiment(config, experiment_dir=args.workdir)
+    experiment.trainer.files = None  # skip per-epoch orbax writes
+    steps_per_epoch = max(len(experiment.datamodule.train), 1)
+    epochs = _epochs_for(args, steps_per_epoch)
+    print(f"[data] {steps_per_epoch} steps/epoch, {epochs} epochs "
+          f"(~{epochs * steps_per_epoch} steps)")
+    ckpt = _load_train_ckpt(args)
+    if ckpt is None:
+        t0 = time.time()
+        history = experiment.trainer.fit(experiment.datamodule, epochs=epochs)
+        train_s = time.time() - t0
+        final = history[-1]
+        print(f"[train] {epochs} epochs in {train_s:.1f}s: "
+              f"train={final['train_loss']:.4f} val={final['val_loss']:.4f}")
+        params = _ema_or_params(experiment.trainer)
+        train_info = {
+            "train_steps": epochs * steps_per_epoch,
+            "final_train_loss": round(final["train_loss"], 4),
+            "final_val_loss": round(final["val_loss"], 4),
+            "train_wall_s": round(train_s, 1),
+        }
+        _save_train_ckpt(args, params, train_info)
+    else:
+        params, train_info = ckpt["params"], ckpt["train_info"]
+
+    config = experiment.config
+    target = experiment.datamodule.dataclass.target
+
+    gen_src = _gen_source(config, ParticleClouds, target.multiplicity, args)
+    predict = jax.jit(experiment.model.predict)
+    key = jax.random.PRNGKey(args.seed + 2)
+    outs = []
+    t0 = time.time()
+    for i, chunk in enumerate(_chunks(args)):
+        db = make_gen_databatch(MultimodalDatabatch, gen_src, chunk)
+        db = jax.tree_util.tree_map(jnp.asarray, db)
+        out = predict(params, db, jax.random.fold_in(key, i))
+        outs.append(jax.tree_util.tree_map(np.asarray, out))
+    gen_s = time.time() - t0
+    print(f"[gen] {args.gen_jets} jets in {gen_s:.1f}s")
+
+    mask_gen = np.concatenate([np.asarray(o.mask_t, np.int64) for o in outs])
+    gen_cloud = state_to_cloud(
+        np.concatenate([o.continuous for o in outs]),
+        np.concatenate([o.discrete for o in outs]),
+        mask_gen,
+        config.data.target_preprocess_stats,
+        ParticleClouds,
+    )
+
+    mult_gen = mask_gen[..., 0].sum(1)
+    mult_init = np.asarray(gen_src.mask[..., 0].sum(1))
+    extra = {
+        "mask_dynamics": {
+            "mult_mean_gen": round(float(mult_gen.mean()), 3),
+            "mult_mean_source_init": round(float(mult_init.mean()), 3),
+            "mask_changed_fraction": round(
+                float((mult_gen != mult_init).mean()), 4
+            ),
+        }
+    }
+    info = {
+        "protocol": (
+            "AbsorbingFlow trained on the full shard; generation starts "
+            "from fresh noise clouds with source masks drawn from the data "
+            "multiplicity histogram (reference predict_step protocol, "
+            "absorbing_flows.py:303-320) and the absorbing bridge evolves "
+            "the mask"
+        ),
+        **train_info,
+        "sampler_steps": config.bridge.num_timesteps,
+        "gen_wall_s": round(gen_s, 1),
+    }
+    return config, target, gen_cloud, info, extra
+
+
+# ---------------------------------------------------------------- transdim
+def run_transdim(args, shard):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_particles_tpu.config_classes.transdimensional_unconditional_config import (
+        TransdimensionalEpicConfig,
+    )
+    from multimodal_particles_tpu.data.particle_clouds.particles import (
+        ParticleClouds,
+    )
+    from multimodal_particles_tpu.training.transdimensional_experiment import (
+        TransdimensionalExperiment,
+    )
+
+    config = TransdimensionalEpicConfig()
+    _point_data_at_shard(config, args, shard)
+    # the quality-tuned block (scripts/quality_families.py
+    # run_transdimensional): O(1)-balanced CE/rate weights + run-scaled
+    # lr/EMA. The EMA halflife scales with the run length (~1/10 of the
+    # total kimg) instead of the 100-jet harness's fixed 10.
+    config.loss_kwargs.x0_logit_ce_loss_weight = 200.0
+    config.loss_kwargs.rate_loss_weight = 100.0
+    config.optimizer_kwargs.lr = 1e-3
+    total_kimg = args.train_steps * args.batch_size / 1000.0
+    config.ema_halflife_kimg = max(10.0, total_kimg / 10.0)
+    steps = args.sampler_steps or 96
+    config.sampler_kwargs.dt = 1.0 / steps
+    if args.multi_birth:
+        config.sampler_kwargs.multi_birth = args.multi_birth
+
+    experiment = TransdimensionalExperiment(config, experiment_dir=args.workdir)
+    experiment.trainer.files = None
+    steps_per_epoch = max(len(experiment.datamodule.train), 1)
+    epochs = _epochs_for(args, steps_per_epoch)
+    print(f"[data] {steps_per_epoch} steps/epoch, {epochs} epochs "
+          f"(~{epochs * steps_per_epoch} steps), "
+          f"ema_halflife_kimg={config.ema_halflife_kimg:.0f}")
+    ckpt = _load_train_ckpt(args)
+    if ckpt is None:
+        t0 = time.time()
+        history = experiment.trainer.fit(experiment.datamodule, epochs=epochs)
+        train_s = time.time() - t0
+        final = history[-1]
+        print(f"[train] {epochs} epochs in {train_s:.1f}s: "
+              f"train={final['train_loss']:.4f}")
+        params = _ema_or_params(experiment.trainer)
+        train_info = {
+            "train_steps": epochs * steps_per_epoch,
+            "final_train_loss": None
+            if final["train_loss"] is None
+            else round(final["train_loss"], 4),
+            "train_wall_s": round(train_s, 1),
+        }
+        _save_train_ckpt(args, params, train_info)
+    else:
+        params, train_info = ckpt["params"], ckpt["train_info"]
+
+    model = experiment.model
+    # the sampler only takes SHAPES from the template (trajectories start
+    # at dims=1, x ~ N(0, I)) — tile the first loader batch to gen_chunk
+    template = next(iter(experiment.datamodule.train))
+    reps = max(1, -(-args.gen_chunk // len(template[0])))
+    template = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            np.repeat(np.asarray(x), reps, axis=0)[: args.gen_chunk]
+        )
+        if x is not None
+        else None,
+        template,
+    )
+    predict = jax.jit(model.predict)
+    key = jax.random.PRNGKey(args.seed + 2)
+    dims_l, cont_l, tok_l = [], [], []
+    n, r = 0, 0
+    t0 = time.time()
+    while n < args.gen_jets:
+        out = predict(params, template, jax.random.fold_in(key, r))
+        r += 1
+        take = min(np.asarray(out.dims).shape[0], args.gen_jets - n)
+        dims_l.append(np.asarray(out.dims)[:take])
+        cont_l.append(np.asarray(out.continuous)[:take])
+        tok_l.append(np.argmax(np.asarray(out.discrete)[:take], axis=-1))
+        n += take
+    gen_s = time.time() - t0
+    print(f"[gen] {args.gen_jets} jets in {gen_s:.1f}s "
+          f"({steps} steps, multi_birth={config.sampler_kwargs.multi_birth})")
+
+    dims_gen = np.concatenate(dims_l)
+    cont = np.concatenate(cont_l)
+    tokens = np.concatenate(tok_l)[..., None]
+    N = config.data.max_num_particles
+    alive = np.arange(N)[None, :] < dims_gen[:, None]
+    # drop diverged jets so one exploded trajectory cannot dominate the
+    # KL/W1 table (same filter as quality_families.run_transdimensional)
+    jet_ok = np.abs(cont[..., 0] * alive).max(axis=1) < 50.0
+    gen_cloud = state_to_cloud(
+        cont[jet_ok],
+        tokens[jet_ok],
+        alive[jet_ok][..., None].astype(np.int64),
+        config.data.target_preprocess_stats,
+        ParticleClouds,
+    )
+    target = experiment.datamodule.dataclass.target
+    mult_data = np.asarray(target.multiplicity).reshape(-1)
+    extra = {
+        "multiplicity_dynamics": {
+            "mult_mean_gen": round(float(dims_gen.mean()), 3),
+            "mult_std_gen": round(float(dims_gen.std()), 3),
+            "mult_mean_data": round(float(mult_data.mean()), 3),
+            "mult_std_data": round(float(mult_data.std()), 3),
+            "scored_jet_fraction": round(float(jet_ok.mean()), 5),
+        }
+    }
+    info = {
+        "protocol": (
+            "TransdimensionalJumpDiffusion trained on the full shard "
+            "(quality-tuned loss weights + run-scaled lr/EMA); sampling "
+            "starts at dims=1, x~N(0,I) and births particles via the "
+            "learned jump rate (tau-leaped multi-birth solver, analytic "
+            "all-dims posterior)"
+        ),
+        **train_info,
+        "sampler_steps": steps,
+        "multi_birth": int(config.sampler_kwargs.multi_birth),
+        "gen_wall_s": round(gen_s, 1),
+    }
+    return config, target, gen_cloud, info, extra
+
+
+RUNNERS = {"mbm": run_mbm, "absorbing": run_absorbing, "transdim": run_transdim}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="mbm", choices=sorted(RUNNERS))
+    ap.add_argument("--n-data", type=int, default=20000)
+    ap.add_argument("--max-particles", type=int, default=64)
+    ap.add_argument("--data-seed", type=int, default=20260819)
+    ap.add_argument("--train-steps", type=int, default=6000)
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=64,
+                    help="encoder width (<=64 keeps the narrow fused "
+                         "kernels; the 20k-jet mixture underfits at the "
+                         "config-mbm-test width 16)")
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--gen-jets", type=int, default=10000)
+    ap.add_argument("--gen-chunk", type=int, default=2048)
+    ap.add_argument("--sampler-steps", type=int, default=0,
+                    help="0 = keep the config value (96 for transdim)")
+    ap.add_argument("--multi-birth", type=int, default=0,
+                    help="transdim only; 0 = keep the config value")
+    ap.add_argument("--boots", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default="tpu", choices=["cpu", "tpu"])
+    ap.add_argument("--shard", default=None,
+                    help="existing shard path (default: generate into .cache)")
+    ap.add_argument("--reuse-params", action="store_true",
+                    help="skip training when the workdir holds a train "
+                         "checkpoint for this seed (crash recovery)")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.workdir is None:
+        args.workdir = os.path.join(
+            REPO_ROOT, ".cache", f"scaled_{args.family}"
+        )
+    if args.out is None:
+        name = {"mbm": "quality_mbm_scaled_data.json",
+                "absorbing": "quality_absorbing_scaled_data.json",
+                "transdim": "quality_transdim_scaled_data.json"}[args.family]
+        args.out = os.path.join(REPO_ROOT, "benchmarks", name)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from multimodal_particles_tpu.data.particle_clouds.jets import (
+        JetClassHighLevelFeatures,
+    )
+
+    shard = _ensure_shard(args)
+    config, target, gen_cloud, info, extra = RUNNERS[args.family](args, shard)
+
     # --------------------------------------------------------------- scoring
-    data_cloud = copy.deepcopy(jets.target)
+    data_cloud = copy.deepcopy(target)
     data_cloud.postprocess(
         input_continuous=config.data.target_preprocess_continuous,
         input_discrete=config.data.target_preprocess_discrete,
@@ -203,9 +559,9 @@ def main():
     hl_data = JetClassHighLevelFeatures(data_cloud)
     N = config.data.max_num_particles
     mult_data = np.asarray(data_cloud.multiplicity).reshape(-1)
+    mult_gen = np.asarray(gen_cloud.multiplicity).reshape(-1)
 
     metrics = score(JetClassHighLevelFeatures(gen_cloud), hl_data, FEATURES)
-    mult_gen = np.asarray(gen_cloud.multiplicity).reshape(-1)
     metrics["KL_mult_hist"] = round(_hist_kl(mult_gen, mult_data, 0, N), 4)
 
     # ------------------------------------------------- floors at THIS scale
@@ -222,13 +578,19 @@ def main():
         if v is not None and fl and fl["median"]:
             ratio_to_floor[k] = round(v / max(fl["median"], 1e-9), 2)
 
+    protocol = info.pop("protocol")
+    top = {
+        k: info.pop(k)
+        for k in ("train_steps", "sampler_steps", "multi_birth")
+        if k in info
+    }
     result = {
+        "family": args.family,
         "protocol": (
             "SYNTHETIC JetClass-schema data (3-class prong mixture, "
             "make_jetclass_synth.py — the physics is synthetic; schema, "
             "featurization, preprocessing, training, sampling and scoring "
-            "are the production paths); MBM trained on the full shard; "
-            "gen-vs-data KL/W1 with the reference's metric machinery; "
+            "are the production paths); " + protocol + "; "
             "floors = plug-in bootstrap at the same generation size "
             "(metric_floors.py)"
         ),
@@ -238,19 +600,13 @@ def main():
             "max_particles": args.max_particles,
             "data_seed": args.data_seed,
         },
-        "train_steps": epochs * steps_per_epoch,
+        **top,
         "batch_size": args.batch_size,
-        "sampler_steps": config.bridge.num_timesteps,
         "gen_jets": args.gen_jets,
         "platform": args.platform,
         "seed": args.seed,
-        "rebuilt": {
-            "final_train_loss": round(final["train_loss"], 4),
-            "final_val_loss": round(final["val_loss"], 4),
-            "train_wall_s": round(train_s, 1),
-            "gen_wall_s": round(gen_s, 1),
-            "metrics": metrics,
-        },
+        "rebuilt": {**info, "metrics": metrics},
+        **extra,
         "floors_at_this_scale": floors,
         "ratio_to_floor_median": ratio_to_floor,
     }
